@@ -1,0 +1,215 @@
+"""ph-adaptive mesh refinement (Patterson-Rao) and the outer solve loop.
+
+Capability parity with ``pycollo/mesh_refinement.py`` (397 LoC) and the
+mesh-iteration loop in ``pycollo/optimal_control_problem.py:387-443``:
+
+* error estimation on a "ph mesh" with one extra node per section
+  (``mesh_refinement.py:75-86``): the solution polynomials are evaluated on
+  the ph mesh, the dynamics are integrated section-wise there, and the
+  defect between the integrated and interpolated states gives the absolute
+  error; relative error normalizes by (1 + max |Y|)
+  (``mesh_refinement.py:206-240``);
+* refinement decision per section (``mesh_refinement.py:242-392``):
+  polynomial-order increase ``P_q = ceil(log(err/tol) / log(N_k))``,
+  node-count reduction for over-resolved sections, subdivision into
+  ``ceil(predicted / min)`` equal subsections at the minimum node count
+  when the predicted order exceeds the maximum.  (The reference's
+  section-merge path is dead code — ``MERGE_TOLERANCE_FACTOR = 0`` at
+  ``mesh_refinement.py:333`` makes ``merge_required`` always false — so it
+  is intentionally not reproduced.)
+
+The next iteration's guess is the solution polynomials evaluated at the new
+mesh nodes (replacing the reference's linear re-interpolation,
+``iteration.py:528-583``, with the exact continuous extension).
+
+TPU note: the error estimator and decision logic run on host numpy between
+jitted solves — they are O(K * n) work and are not on the hot path.  The
+expensive part (the solve itself) is always a fixed-shape jitted program;
+meshes with equal shapes reuse their compiled executable via JAX's cache.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from . import quadrature as quad
+from .mesh import PhaseMeshTables, build_phase_tables
+from .guess import ProcessedPhaseGuess
+from .solution import Solution
+from .utils import console_out
+
+DEFAULT_MESH_TOLERANCE = 1e-7
+DEFAULT_MAX_MESH_ITERATIONS = 10
+PATTERSON_RAO = "patterson-rao"
+
+
+class PattersonRaoMeshRefinement:
+    """Mesh error estimation + next-mesh proposal for one solution."""
+
+    def __init__(self, solution: Solution):
+        self.sol = solution
+        self.iteration = solution.iteration
+        self.settings = self.iteration.settings
+        self.backend = solution.backend
+        self.absolute_mesh_errors: List[np.ndarray] = []
+        self.relative_mesh_errors: List[np.ndarray] = []
+        self.maximum_relative_mesh_errors: List[np.ndarray] = []
+        self.mesh_error()
+        self.next_tables, self.next_guesses = self.next_iteration_mesh()
+
+    # -- error estimation ------------------------------------------------
+    def mesh_error(self):
+        import jax
+        program = self.backend.program
+        s = self.sol.parameter
+        for i, (t, pd) in enumerate(zip(self.iteration.tables,
+                                        self.sol.phase_data)):
+            pf = program.phase_functions[i]
+            abs_errs = []
+            rel_errs = []
+            sec_bounds = np.concatenate(
+                [t.tau[t.section_starts], [t.tau[-1]]])
+            for k in range(t.K):
+                n_k = int(t.section_nodes[k])
+                lo, hi = sec_bounds[k], sec_bounds[k + 1]
+                h_k = hi - lo
+                # ph mesh: one extra node in this section.
+                sch_ph = quad.scheme(t.method, n_k + 1)
+                tau_ph = lo + 0.5 * h_k * (sch_ph.points + 1.0)
+                y_ph, u_ph = self.sol.interpolate_phase(i, tau_ph)
+                time_ph = pd.stretch * tau_ph + pd.shift
+                f_ph = np.asarray(jax.vmap(
+                    pf.dynamics, in_axes=(0, 0, 0, None))(
+                        y_ph.T, u_ph.T, time_ph, s))       # (n_k+1, ny)
+                ncol_ph = sch_ph.num_collocation
+                # Integrate the dynamics through the section on the ph mesh.
+                Y = y_ph[:, 0:1].T + pd.stretch * 0.5 * h_k * (
+                    sch_ph.integration[:, :ncol_ph] @ f_ph[:ncol_ph])
+                abs_err = np.abs(Y - y_ph[:, 1:].T)         # (n_k, ny)
+                scale = 1.0 + np.max(np.abs(y_ph), axis=1)  # (ny,)
+                rel_err = abs_err / scale[None, :]
+                abs_errs.append(abs_err)
+                rel_errs.append(rel_err)
+            self.absolute_mesh_errors.append(abs_errs)
+            self.relative_mesh_errors.append(rel_errs)
+            self.maximum_relative_mesh_errors.append(
+                np.array([e.max() if e.size else 0.0 for e in rel_errs]))
+
+    @property
+    def max_relative_mesh_error(self) -> float:
+        return max((float(m.max()) if m.size else 0.0
+                    for m in self.maximum_relative_mesh_errors),
+                   default=0.0)
+
+    # -- next mesh -------------------------------------------------------
+    def next_iteration_mesh(self):
+        tables = []
+        guesses = []
+        for i, t in enumerate(self.iteration.tables):
+            new_t = self.next_iteration_phase_mesh(i, t)
+            tables.append(new_t)
+            guesses.append(self._guess_on_mesh(i, new_t))
+        return tables, guesses
+
+    def next_iteration_phase_mesh(self, i: int,
+                                  t: PhaseMeshTables) -> PhaseMeshTables:
+        mesh_tol = self.settings.mesh_tolerance
+        n_min = self.settings.collocation_points_min
+        n_max = self.settings.collocation_points_max
+        max_errs = self.maximum_relative_mesh_errors[i]
+        if max_errs.size == 0 or max_errs.max() <= mesh_tol:
+            return t  # phase already meets tolerance; keep its mesh
+
+        N_k = t.section_nodes.astype(int)
+        h_k = t.h_sections / t.h_sections.sum()
+        with np.errstate(divide="ignore"):
+            ratio = np.maximum(max_errs / mesh_tol, 1e-300)
+            P_q = np.ceil(np.log(ratio) / np.log(N_k)).astype(int)
+        # Over-resolved sections: soften the node reduction
+        # (``mesh_refinement.py:328-340``).
+        neg = P_q <= 0
+        P_q[neg] = P_q[neg] + np.ceil(np.log(-P_q[neg] + 1.0)).astype(int)
+        with np.errstate(divide="ignore"):
+            log_tol = np.log(np.maximum(mesh_tol / np.maximum(max_errs,
+                                                              1e-300),
+                                        1e-300))
+        reduction_tol = np.clip(1.0 + 1.0 / log_tol, 0.0, None)
+        predicted = N_k + P_q
+        predicted[neg] = (np.ceil(P_q[neg] * reduction_tol[neg])
+                          + N_k[neg]).astype(int)
+        subdivide = predicted >= n_max
+
+        new_sizes = []
+        new_nodes = []
+        for k in range(len(N_k)):
+            if subdivide[k]:
+                parts = int(np.ceil(predicted[k] / n_min))
+                new_sizes.extend([h_k[k] / parts] * parts)
+                new_nodes.extend([n_min] * parts)
+            else:
+                new_sizes.append(h_k[k])
+                new_nodes.append(int(np.clip(predicted[k], n_min, n_max)))
+        return build_phase_tables(t.method, new_sizes, new_nodes)
+
+    def _guess_on_mesh(self, i: int,
+                       new_t: PhaseMeshTables) -> ProcessedPhaseGuess:
+        pd = self.sol.phase_data[i]
+        y_new, u_new = self.sol.interpolate_phase(i, new_t.tau)
+        return ProcessedPhaseGuess(tau=new_t.tau, y=y_new, u=u_new,
+                                   q=pd.q, t0=pd.t0, tF=pd.tF)
+
+
+@dataclass
+class RefinementLoopResult:
+    iterations: list
+    solution: Solution
+    mesh_tolerance_met: bool
+    mesh_errors: list
+
+
+def run_mesh_refinement_loop(backend, display: bool = True):
+    """The outer ph-adaptive loop
+    (``pycollo/optimal_control_problem.py:387-443``)."""
+    settings = backend.settings
+    iterations = []
+    solution = None
+    mesh_errors = []
+    tolerance_met = False
+    it = backend.mesh_iterations[-1]
+    for loop_idx in range(settings.max_mesh_iterations):
+        if display:
+            shapes = [f"K={t.K},N={t.N}" for t in it.tables]
+            console_out(f"Mesh iteration {it.number} ({'; '.join(shapes)})")
+        result = it.solve()
+        iterations.append(result)
+        solution = Solution(result)
+        refinement = solution.refine_mesh()
+        max_err = refinement.max_relative_mesh_error
+        mesh_errors.append(max_err)
+        if display:
+            console_out(
+                f"  objective {solution.objective:.8g}; max relative mesh "
+                f"error {max_err:.3e}; NLP iters "
+                f"{int(result.ipm_result.iterations)}; "
+                f"KKT {float(result.ipm_result.kkt_error):.2e}")
+        if max_err <= settings.mesh_tolerance:
+            tolerance_met = True
+            break
+        if loop_idx == settings.max_mesh_iterations - 1:
+            if display:
+                console_out(
+                    f"Maximum number of mesh iterations "
+                    f"({settings.max_mesh_iterations}) reached without "
+                    f"meeting the mesh tolerance "
+                    f"{settings.mesh_tolerance:.1e}.")
+            break
+        it = backend.new_mesh_iteration(refinement.next_tables,
+                                        refinement.next_guesses,
+                                        solution.parameter)
+    return RefinementLoopResult(iterations=iterations, solution=solution,
+                                mesh_tolerance_met=tolerance_met,
+                                mesh_errors=mesh_errors)

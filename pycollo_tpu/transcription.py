@@ -1,0 +1,631 @@
+"""Transcription: OCP -> scaled NLP with JAX residual evaluators.
+
+This module replaces the reference's per-iteration CasADi symbol expansion
+(``pycollo/backend.py:1403-1679``) and the iteration bookkeeping
+(``pycollo/iteration.py:196-453``) with a dense, batched JAX evaluation:
+the state/control trajectories of each phase are matrices ``(ny, N)`` /
+``(nu, N)``, per-node user functions are ``vmap``-ed across all mesh nodes
+at once, and the defect/integral operators are plain matmuls with the static
+mesh tables (MXU-friendly; no per-node symbolic expansion).
+
+Layout invariants match the reference (SURVEY.md section 3.5):
+
+* NLP variables per phase: ``[y0(N), y1(N), ..., u0(N), ..., q, t0, tF]``,
+  phases concatenated, then global ``s`` (``pycollo/iteration.py:208-262``).
+* Constraints per phase: ``[defects (ny x num_defect), paths (npc x N),
+  integrals (nq)]`` then global endpoint constraints
+  (``pycollo/iteration.py:264-314``).
+* Defect (integral form): ``zeta = E y + 0.5 (tF - t0) I f`` with the
+  [+1, -1] difference pattern in ``E`` (``pycollo/backend.py:1601-1603``).
+* Integral: ``rho = q - 0.5 (tF - t0) W g`` (``pycollo/backend.py:1645-1647``).
+* Time affinely normalized to tau in [-1, 1].
+* Variables with equal lower == upper bounds leave the NLP and become
+  entries of the per-instance parameter vector ``theta``
+  (``pycollo/bounds.py:901-935``) — which is also how batched MPC-style
+  instance perturbation enters.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from . import mesh as mesh_mod
+from .bounds import (ProcessedPhaseBounds, ProcessedProblemBounds,
+                     process_phase_bounds, process_problem_bounds)
+from .guess import ProcessedPhaseGuess, process_phase_guess
+from .structures import Endpoints, PhaseEndpoints
+
+
+class FunctionalProgram:
+    """Adapter for the functional (JAX-callable) frontend."""
+
+    def __init__(self, ocp):
+        import jax.numpy as jnp
+        self._jnp = jnp
+        self.ocp = ocp
+        self.phase_functions = [_FunctionalPhase(p, jnp) for p in ocp.phases]
+        if not callable(ocp.objective_function):
+            raise TypeError(
+                "With the functional frontend, ocp.objective_function must "
+                "be a callable taking an Endpoints structure.")
+        self._objective = ocp.objective_function
+        self._endpoint = ocp.endpoint_constraints \
+            if callable(ocp.endpoint_constraints) else None
+
+    def objective(self, ep: Endpoints):
+        return self._objective(ep)
+
+    def endpoint_constraints(self, ep: Endpoints):
+        if self._endpoint is None:
+            return self._jnp.zeros(0)
+        return self._jnp.atleast_1d(self._endpoint(ep))
+
+    def resolve_numeric(self, value):
+        return value
+
+    def phase_resolver(self, phase_index):
+        return lambda value: value
+
+
+class _FunctionalPhase:
+    def __init__(self, phase, jnp):
+        self._jnp = jnp
+        self.phase = phase
+        self._dyn = phase.state_equations
+        if not callable(self._dyn):
+            raise TypeError(
+                f"Phase {phase.name!r}: with the functional frontend, "
+                f"state_equations must be a callable f(y, u, t, s).")
+        self._path = phase.path_constraints \
+            if callable(phase.path_constraints) else None
+        self._integrand = phase.integrand_functions \
+            if callable(phase.integrand_functions) else None
+
+    def dynamics(self, y, u, t, s):
+        return self._jnp.atleast_1d(self._dyn(y, u, t, s))
+
+    def path(self, y, u, t, s):
+        if self._path is None:
+            return self._jnp.zeros(0)
+        return self._jnp.atleast_1d(self._path(y, u, t, s))
+
+    def integrand(self, y, u, t, s):
+        if self._integrand is None:
+            return self._jnp.zeros(0)
+        return self._jnp.atleast_1d(self._integrand(y, u, t, s))
+
+
+@dataclass
+class PhaseLayout:
+    """Index bookkeeping for one phase within the flat NLP vectors.
+
+    Parity with ``pycollo/iteration.py:196-342`` (variable/constraint
+    counts and slices).
+    """
+
+    ny: int
+    nu: int
+    nq: int
+    npc: int
+    N: int
+    num_defect: int
+    y_off: int
+    u_off: int
+    q_off: int
+    t_off: int
+    c_defect_off: int
+    c_path_off: int
+    c_integral_off: int
+    defect_states: np.ndarray      # indices of states with defect rows
+
+    @property
+    def num_defect_rows(self) -> int:
+        return len(self.defect_states) * self.num_defect
+
+    @property
+    def y_slice(self):
+        return slice(self.y_off, self.y_off + self.ny * self.N)
+
+    @property
+    def u_slice(self):
+        return slice(self.u_off, self.u_off + self.nu * self.N)
+
+    @property
+    def q_slice(self):
+        return slice(self.q_off, self.q_off + self.nq)
+
+    @property
+    def t_slice(self):
+        return slice(self.t_off, self.t_off + 2)
+
+
+@dataclass
+class Layout:
+    phases: List[PhaseLayout]
+    s_off: int
+    ns: int
+    n_full: int
+    c_endpoint_off: int
+    nb: int
+    m_total: int
+
+    @property
+    def s_slice(self):
+        return slice(self.s_off, self.s_off + self.ns)
+
+
+def build_layout(phase_dims, tables, ns: int, nb: int,
+                 defect_state_lists) -> Layout:
+    phases = []
+    off = 0
+    c_off = 0
+    for (ny, nu, nq, npc), t, dstates in zip(phase_dims, tables,
+                                             defect_state_lists):
+        N = t.N
+        pl = PhaseLayout(ny=ny, nu=nu, nq=nq, npc=npc, N=N,
+                         num_defect=t.num_defect,
+                         y_off=off, u_off=off + ny * N,
+                         q_off=off + (ny + nu) * N,
+                         t_off=off + (ny + nu) * N + nq,
+                         c_defect_off=c_off,
+                         c_path_off=c_off + len(dstates) * t.num_defect,
+                         c_integral_off=c_off + len(dstates) * t.num_defect
+                         + npc * N,
+                         defect_states=np.asarray(dstates, dtype=int))
+        off += (ny + nu) * N + nq + 2
+        c_off = pl.c_integral_off + nq
+        phases.append(pl)
+    return Layout(phases=phases, s_off=off, ns=ns, n_full=off + ns,
+                  c_endpoint_off=c_off, nb=nb, m_total=c_off + nb)
+
+
+class CompiledOCP:
+    """The compiled problem: frontend program + bounds/guess + iterations.
+
+    Plays the role of the reference ``Backend``
+    (``pycollo/backend.py:71-160``): owns the processed problem data and
+    creates :class:`MeshIteration` objects as the refinement loop proceeds.
+    """
+
+    def __init__(self, ocp):
+        import jax
+        self.ocp = ocp
+        self.settings = ocp.settings
+        if self.settings.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+
+        if ocp.is_symbolic:
+            from .sym_backend import SymbolicProgram
+            self.program = SymbolicProgram(ocp)
+        else:
+            self.program = FunctionalProgram(ocp)
+
+        # Bounds (with symbolic resolution through aux data).
+        self.phase_bounds: List[ProcessedPhaseBounds] = []
+        for i, phase in enumerate(ocp.phases):
+            resolver = self.program.phase_resolver(i) \
+                if hasattr(self.program, "phase_resolver") else (lambda v: v)
+            self.phase_bounds.append(
+                process_phase_bounds(phase, self.settings, resolver))
+        self.problem_bounds: ProcessedProblemBounds = process_problem_bounds(
+            ocp, self.settings, self.program.resolve_numeric)
+
+        # Guesses.
+        self.phase_guesses: List[ProcessedPhaseGuess] = [
+            process_phase_guess(p, self.program.resolve_numeric)
+            for p in ocp.phases]
+        s_guess = self.program.resolve_numeric(
+            ocp.guess.parameter_variables)
+        ns = ocp.number_parameter_variables
+        if s_guess is None:
+            sb = self.problem_bounds.s_bnd
+            finite = np.isfinite(sb).all(axis=1) & (np.abs(sb) < 1e18).all(axis=1)
+            s_guess = np.where(finite, 0.5 * (sb[:, 0] + sb[:, 1]), 0.0)
+        self.s_guess = np.atleast_1d(np.asarray(s_guess, dtype=float)) \
+            if ns else np.zeros(0)
+        if self.s_guess.shape != (ns,):
+            raise ValueError(f"Parameter guess must have shape ({ns},).")
+
+        self.mesh_iterations: List["MeshIteration"] = []
+        self.create_initial_iteration()
+
+    # ------------------------------------------------------------------
+    def initial_mesh_tables(self):
+        method = self.settings.quadrature_method
+        tables = []
+        for phase in self.ocp.phases:
+            pm = phase.mesh
+            tables.append(mesh_mod.build_phase_tables(
+                method, pm.mesh_section_sizes,
+                pm.number_mesh_section_nodes))
+        return tables
+
+    def create_initial_iteration(self):
+        tables = self.initial_mesh_tables()
+        it = MeshIteration(self, tables, self.phase_guesses, self.s_guess,
+                           number=1)
+        self.mesh_iterations.append(it)
+        return it
+
+    def new_mesh_iteration(self, tables, phase_guesses, s_guess):
+        """Start the next mesh iteration (``pycollo/backend.py:827-851``)."""
+        it = MeshIteration(self, tables, phase_guesses, s_guess,
+                           number=len(self.mesh_iterations) + 1)
+        self.mesh_iterations.append(it)
+        return it
+
+
+class MeshIteration:
+    """One transcription + solve on a fixed mesh.
+
+    Parity with ``pycollo/iteration.py`` (live code path): interpolate the
+    guess onto the mesh, build scaling, build the scaled NLP, solve, and
+    post-process.  All heavy computation is jitted JAX; this class holds
+    the static numpy metadata.
+    """
+
+    def __init__(self, compiled: CompiledOCP, tables, phase_guesses,
+                 s_guess, number: int):
+        import jax
+        import jax.numpy as jnp
+        self._jax = jax
+        self._jnp = jnp
+        self.compiled = compiled
+        self.ocp = compiled.ocp
+        self.settings = compiled.settings
+        self.tables = tables
+        self.number = number
+        self.phase_guesses = phase_guesses
+        self.s_guess = np.asarray(s_guess, dtype=float)
+
+        ocp = self.ocp
+        self.ns = ocp.number_parameter_variables
+        self.nb = ocp.number_endpoint_constraints
+
+        phase_dims = []
+        defect_state_lists = []
+        for phase, pb in zip(ocp.phases, compiled.phase_bounds):
+            ny = phase.number_state_variables
+            nu = phase.number_control_variables
+            nq = phase.number_integrand_functions
+            npc = phase.number_path_constraints
+            phase_dims.append((ny, nu, nq, npc))
+            if self.settings.remove_constant_variables:
+                defect_state_lists.append(np.nonzero(pb.y_needed)[0])
+            else:
+                defect_state_lists.append(np.arange(ny))
+        self.layout = build_layout(phase_dims, tables, self.ns, self.nb,
+                                   defect_state_lists)
+
+        self._build_variable_metadata()
+        self._build_constraint_metadata()
+        self._build_guess_vector()
+        self._build_nlp_functions()
+        self._build_scaling()
+        self._solver = None
+        self._solve_fn = None
+
+    # -- variable metadata ---------------------------------------------
+    def _build_variable_metadata(self):
+        lay = self.layout
+        cb = self.compiled
+        inf_thresh = 1e18
+        lb = np.empty(lay.n_full)
+        ub = np.empty(lay.n_full)
+        V = np.ones(lay.n_full)
+        r = np.zeros(lay.n_full)
+
+        def var_scale(bnd):
+            """V = xu - xl, r = midpoint (``pycollo/scaling.py:87-92``);
+            falls back to V=1, r=0 for un/half-bounded variables."""
+            lo, hi = bnd[..., 0], bnd[..., 1]
+            finite = (np.abs(lo) < inf_thresh) & (np.abs(hi) < inf_thresh) \
+                & (hi > lo)
+            Vv = np.where(finite, hi - lo, 1.0)
+            rv = np.where(finite, 0.5 * (lo + hi), 0.0)
+            return Vv, rv
+
+        for pl, pb, t in zip(lay.phases, cb.phase_bounds, self.tables):
+            N = pl.N
+            # y: per-node bounds with endpoint overrides
+            # (``pycollo/iteration.py:408-429``).
+            y_lb = np.tile(pb.y_bnd[:, 0:1], (1, N))
+            y_ub = np.tile(pb.y_bnd[:, 1:2], (1, N))
+            y_lb[:, 0] = pb.y_t0_bnd[:, 0]
+            y_ub[:, 0] = pb.y_t0_bnd[:, 1]
+            y_lb[:, -1] = pb.y_tF_bnd[:, 0]
+            y_ub[:, -1] = pb.y_tF_bnd[:, 1]
+            lb[pl.y_slice] = y_lb.ravel()
+            ub[pl.y_slice] = y_ub.ravel()
+            Vy, ry = var_scale(pb.y_bnd)
+            V[pl.y_slice] = np.repeat(Vy, N)
+            r[pl.y_slice] = np.repeat(ry, N)
+
+            lb[pl.u_slice] = np.repeat(pb.u_bnd[:, 0], N)
+            ub[pl.u_slice] = np.repeat(pb.u_bnd[:, 1], N)
+            Vu, ru = var_scale(pb.u_bnd)
+            V[pl.u_slice] = np.repeat(Vu, N)
+            r[pl.u_slice] = np.repeat(ru, N)
+
+            lb[pl.q_slice] = pb.q_bnd[:, 0]
+            ub[pl.q_slice] = pb.q_bnd[:, 1]
+            Vq, rq = var_scale(pb.q_bnd)
+            V[pl.q_slice] = Vq
+            r[pl.q_slice] = rq
+
+            t_bnd = np.stack([pb.t0_bnd, pb.tF_bnd])
+            lb[pl.t_slice] = t_bnd[:, 0]
+            ub[pl.t_slice] = t_bnd[:, 1]
+            Vt, rt = var_scale(t_bnd)
+            V[pl.t_slice] = Vt
+            r[pl.t_slice] = rt
+
+        sb = cb.problem_bounds.s_bnd
+        lb[lay.s_slice] = sb[:, 0]
+        ub[lay.s_slice] = sb[:, 1]
+        Vs, rs = var_scale(sb)
+        V[lay.s_slice] = Vs
+        r[lay.s_slice] = rs
+
+        if self.settings.scaling_method == "none":
+            V = np.ones_like(V)
+            r = np.zeros_like(r)
+
+        self.lb_full = lb
+        self.ub_full = ub
+        self.V_full = V
+        self.r_full = r
+        self.free_mask = (ub - lb) > 0
+        self.free_idx = np.nonzero(self.free_mask)[0]
+        self.fixed_idx = np.nonzero(~self.free_mask)[0]
+        self.n_free = len(self.free_idx)
+        # Default theta: fixed entries hold their pinned value.
+        theta = np.zeros(lay.n_full)
+        theta[self.fixed_idx] = 0.5 * (lb[self.fixed_idx]
+                                       + ub[self.fixed_idx])
+        self.theta_default = theta
+        # Scaled bounds for the free variables.
+        Vf = V[self.free_idx]
+        rf = r[self.free_idx]
+        with np.errstate(over="ignore", invalid="ignore"):
+            self.xs_lb = np.where(lb[self.free_idx] < -inf_thresh, -1e19,
+                                  (lb[self.free_idx] - rf) / Vf)
+            self.xs_ub = np.where(ub[self.free_idx] > inf_thresh, 1e19,
+                                  (ub[self.free_idx] - rf) / Vf)
+
+    # -- constraint metadata --------------------------------------------
+    def _build_constraint_metadata(self):
+        lay = self.layout
+        cb = self.compiled
+        cl = np.empty(lay.m_total)
+        cu = np.empty(lay.m_total)
+        for pl, pb in zip(lay.phases, cb.phase_bounds):
+            d0 = pl.c_defect_off
+            cl[d0:pl.c_path_off] = 0.0
+            cu[d0:pl.c_path_off] = 0.0
+            path_lb = np.repeat(pb.path_bnd[:, 0], pl.N)
+            path_ub = np.repeat(pb.path_bnd[:, 1], pl.N)
+            cl[pl.c_path_off:pl.c_integral_off] = path_lb
+            cu[pl.c_path_off:pl.c_integral_off] = path_ub
+            cl[pl.c_integral_off:pl.c_integral_off + pl.nq] = 0.0
+            cu[pl.c_integral_off:pl.c_integral_off + pl.nq] = 0.0
+        bb = cb.problem_bounds.b_bnd
+        cl[lay.c_endpoint_off:] = bb[:, 0]
+        cu[lay.c_endpoint_off:] = bb[:, 1]
+        self.cl = cl
+        self.cu = cu
+
+    # -- guess -----------------------------------------------------------
+    def _build_guess_vector(self):
+        lay = self.layout
+        x = np.array(self.theta_default)
+        for pl, g, t in zip(lay.phases, self.phase_guesses, self.tables):
+            y_mesh, u_mesh = g.interpolate(t.tau)
+            x[pl.y_slice] = y_mesh.ravel()
+            x[pl.u_slice] = u_mesh.ravel()
+            x[pl.q_slice] = g.q
+            x[pl.t_off] = g.t0
+            x[pl.t_off + 1] = g.tF
+        x[lay.s_slice] = self.s_guess
+        self.x_full_guess = x
+        # Fixed entries of theta keep their pinned (bound) values; the
+        # guess supplies the free entries.
+        self.xs_guess = ((x - self.r_full) / self.V_full)[self.free_idx]
+
+    # -- NLP functions ----------------------------------------------------
+    def _build_nlp_functions(self):
+        import jax
+        import jax.numpy as jnp
+        lay = self.layout
+        program = self.compiled.program
+        tables = self.tables
+        free_idx = jnp.asarray(self.free_idx)
+        V_free = jnp.asarray(self.V_full[self.free_idx])
+        r_free = jnp.asarray(self.r_full[self.free_idx])
+        jtables = [dict(E=jnp.asarray(t.E), I=jnp.asarray(t.I),
+                        W=jnp.asarray(t.W), tau=jnp.asarray(t.tau))
+                   for t in tables]
+
+        def assemble_full(xs, theta):
+            return theta.at[free_idx].set(xs * V_free + r_free)
+
+        def phase_values(x_full, pl, jt, s):
+            y = x_full[pl.y_slice].reshape(pl.ny, pl.N)
+            u = x_full[pl.u_slice].reshape(pl.nu, pl.N)
+            q = x_full[pl.q_slice]
+            t0 = x_full[pl.t_off]
+            tF = x_full[pl.t_off + 1]
+            stretch = 0.5 * (tF - t0)
+            shift = 0.5 * (t0 + tF)
+            t_nodes = stretch * jt["tau"] + shift
+            return y, u, q, t0, tF, stretch, t_nodes
+
+        def endpoints(x_full):
+            s = x_full[lay.s_slice]
+            eps = []
+            for pl, jt in zip(lay.phases, jtables):
+                y, u, q, t0, tF, _, _ = phase_values(x_full, pl, jt, s)
+                eps.append(PhaseEndpoints(y0=y[:, 0], yF=y[:, -1], q=q,
+                                          t0=t0, tF=tF))
+            return Endpoints(phase=tuple(eps), s=s)
+
+        def constraints_raw(x_full):
+            """Unscaled constraint vector in the reference layout."""
+            s = x_full[lay.s_slice]
+            parts = []
+            for i, (pl, jt) in enumerate(zip(lay.phases, jtables)):
+                pf = program.phase_functions[i]
+                y, u, q, t0, tF, stretch, t_nodes = phase_values(
+                    x_full, pl, jt, s)
+                yT = y.T          # (N, ny)
+                uT = u.T          # (N, nu)
+                f = jax.vmap(pf.dynamics, in_axes=(0, 0, 0, None))(
+                    yT, uT, t_nodes, s)          # (N, ny)
+                defect = jt["E"] @ yT + stretch * (jt["I"] @ f)
+                defect = defect[:, pl.defect_states]
+                parts.append(defect.T.reshape(-1))
+                if pl.npc:
+                    pc = jax.vmap(pf.path, in_axes=(0, 0, 0, None))(
+                        yT, uT, t_nodes, s)      # (N, npc)
+                    parts.append(pc.T.reshape(-1))
+                if pl.nq:
+                    rho = jax.vmap(pf.integrand, in_axes=(0, 0, 0, None))(
+                        yT, uT, t_nodes, s)      # (N, nq)
+                    parts.append(q - stretch * (jt["W"] @ rho))
+            ep = endpoints(x_full)
+            b = program.endpoint_constraints(ep)
+            parts.append(b.reshape(-1))
+            return jnp.concatenate(parts) if parts else jnp.zeros(0)
+
+        def objective_raw(x_full):
+            return jnp.squeeze(program.objective(endpoints(x_full)))
+
+        def f_unscaled(xs, theta):
+            return objective_raw(assemble_full(xs, theta))
+
+        def c_unscaled(xs, theta):
+            return constraints_raw(assemble_full(xs, theta))
+
+        self.assemble_full = assemble_full
+        self.endpoints_of = endpoints
+        self.f_unscaled = f_unscaled
+        self.c_unscaled = c_unscaled
+        self._constraints_raw = constraints_raw
+        self._objective_raw = objective_raw
+
+    # -- scaling ---------------------------------------------------------
+    def _build_scaling(self):
+        """Objective / constraint scaling (``pycollo/scaling.py:271-430``)."""
+        import jax
+        import jax.numpy as jnp
+        lay = self.layout
+        xs0 = jnp.asarray(self.xs_guess)
+        theta0 = jnp.asarray(self.theta_default)
+        method = self.settings.scaling_method
+
+        if method == "none":
+            self.w = 1.0
+            self.W_c = np.ones(lay.m_total)
+        else:
+            # Constraint scales: defect rows 1/V_y, integral rows 1/V_q,
+            # path/endpoint rows 1/(row norms of G at the guess).
+            W_c = np.ones(lay.m_total)
+            need_G = any(pl.npc for pl in lay.phases) or lay.nb
+            if need_G:
+                G = np.asarray(jax.jacrev(self.c_unscaled)(xs0, theta0))
+                G_norm = np.sqrt((G ** 2).sum(axis=1))
+            for pl, pb in zip(lay.phases, self.compiled.phase_bounds):
+                Vy = self.V_full[pl.y_slice].reshape(pl.ny, pl.N)[:, 0]
+                d_scales = 1.0 / Vy[pl.defect_states]
+                W_c[pl.c_defect_off:pl.c_path_off] = np.repeat(
+                    d_scales, pl.num_defect)
+                if pl.npc:
+                    rows = G_norm[pl.c_path_off:pl.c_integral_off]
+                    mean_rows = rows.reshape(pl.npc, pl.N).mean(axis=1)
+                    W_c[pl.c_path_off:pl.c_integral_off] = np.repeat(
+                        1.0 / np.maximum(mean_rows, 1e-8), pl.N)
+                if pl.nq:
+                    Vq = self.V_full[pl.q_slice]
+                    W_c[pl.c_integral_off:pl.c_integral_off + pl.nq] = \
+                        1.0 / Vq
+            if lay.nb:
+                rows = G_norm[lay.c_endpoint_off:]
+                W_c[lay.c_endpoint_off:] = 1.0 / np.maximum(rows, 1e-8)
+            self.W_c = W_c
+            # Objective scale w: 1.0 on the first mesh iteration, then
+            # 1/||grad J|| at the guess (``pycollo/scaling.py:271-281``).
+            if self.number == 1 or method == "none":
+                self.w = 1.0
+            else:
+                g = np.asarray(jax.grad(self.f_unscaled)(xs0, theta0))
+                g_norm = float(np.sqrt((g ** 2).sum()))
+                self.w = 1.0 if np.isclose(g_norm, 0.0) else 1.0 / g_norm
+
+        jW_c = self._jnp.asarray(self.W_c)
+        w = self.w
+
+        def f_scaled(xs, theta):
+            return w * self.f_unscaled(xs, theta)
+
+        def c_scaled(xs, theta):
+            return jW_c * self.c_unscaled(xs, theta)
+
+        self.f_scaled = f_scaled
+        self.c_scaled = c_scaled
+        self.cl_scaled = self.W_c * self.cl
+        self.cu_scaled = self.W_c * self.cu
+
+    # -- solve ------------------------------------------------------------
+    def build_solver(self, options=None):
+        from .solver.ipm import IPMOptions, build_ipm_solver
+        if options is None:
+            options = IPMOptions(tol=self.settings.nlp_tolerance,
+                                 max_iter=self.settings.max_nlp_iterations,
+                                 mu_init=self.settings.ipm_mu_init,
+                                 mu_min=self.settings.ipm_mu_min)
+        self._solver = build_ipm_solver(self.f_scaled, self.c_scaled,
+                                        self.xs_lb, self.xs_ub,
+                                        self.cl_scaled, self.cu_scaled,
+                                        options)
+        self._solve_fn = self._jax.jit(self._solver)
+        return self._solver
+
+    def solve(self, theta=None):
+        """Solve this mesh iteration's NLP; returns an IterationResult."""
+        import time
+        if self._solver is None:
+            self.build_solver()
+        if theta is None:
+            theta = self.theta_default
+        t0 = time.perf_counter()
+        res = self._solve_fn(self._jnp.asarray(self.xs_guess),
+                             self._jnp.asarray(theta))
+        res.x.block_until_ready()
+        solve_time = time.perf_counter() - t0
+        x_full = np.asarray(self.assemble_full(res.x,
+                                               self._jnp.asarray(theta)))
+        return IterationResult(iteration=self, ipm_result=res,
+                               x_full=x_full, solve_time=solve_time)
+
+
+@dataclass
+class IterationResult:
+    """Raw solve output for one mesh iteration."""
+
+    iteration: MeshIteration
+    ipm_result: object
+    x_full: np.ndarray
+    solve_time: float
+
+    @property
+    def objective(self) -> float:
+        """Unscaled objective (``pycollo/scaling.py:186-189``)."""
+        return float(self.ipm_result.f) / self.iteration.w
+
+    @property
+    def converged(self) -> bool:
+        return bool(self.ipm_result.converged)
