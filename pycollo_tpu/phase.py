@@ -151,7 +151,18 @@ class Phase:
 
     @state_equations.setter
     def state_equations(self, value):
-        if callable(value) and not _is_symbolic(value):
+        if isinstance(value, dict):
+            # Dict keyed by state variable (reference API form, used by
+            # ``tests/integration/test_multiphase.py:42``).
+            by_name = {str(k): v for k, v in value.items()}
+            missing = [str(v) for v in self._state_variables
+                       if str(v) not in by_name]
+            if missing:
+                raise ValueError(
+                    f"State equations dict missing entries for {missing}.")
+            self._state_equations = tuple(by_name[str(v)]
+                                          for v in self._state_variables)
+        elif callable(value) and not _is_symbolic(value):
             self._state_equations = value
         else:
             self._state_equations = _as_var_tuple(value)

@@ -163,6 +163,77 @@ class PattersonRaoMeshRefinement:
                                    q=pd.q, t0=pd.t0, tF=pd.tF)
 
 
+def build_warm_start(prev_result, prev_it, new_it):
+    """Interpolate the previous iteration's multipliers onto a new mesh.
+
+    TPU-native replacement for the reference's reliance on IPOPT's
+    ``warm_start_init_point`` + guess recycling
+    (``pycollo/iteration.py:528-583``): bound multipliers ``z`` are
+    interpolated per variable over tau; defect multipliers are converted
+    to costate-like densities (divide by the row's tau spacing and undo
+    the constraint scaling) before interpolation; the barrier parameter
+    restarts at the geometric mean of its final value and ``mu_init``.
+    """
+    res = prev_result.ipm_result
+    lay_o, lay_n = prev_it.layout, new_it.layout
+
+    # -- bound multipliers: scatter to full vectors, interp, re-gather ---
+    def interp_z(z_free_old):
+        z_full_o = np.zeros(lay_o.n_full)
+        z_full_o[prev_it.free_idx] = np.asarray(z_free_old)
+        z_full_n = np.zeros(lay_n.n_full)
+        for pl_o, pl_n, t_o, t_n in zip(lay_o.phases, lay_n.phases,
+                                        prev_it.tables, new_it.tables):
+            for off_o, off_n, nvar in ((pl_o.y_off, pl_n.y_off, pl_o.ny),
+                                       (pl_o.u_off, pl_n.u_off, pl_o.nu)):
+                for j in range(nvar):
+                    old = z_full_o[off_o + j * pl_o.N:
+                                   off_o + (j + 1) * pl_o.N]
+                    z_full_n[off_n + j * pl_n.N:
+                             off_n + (j + 1) * pl_n.N] = \
+                        np.interp(t_n.tau, t_o.tau, old)
+            z_full_n[pl_n.q_slice] = z_full_o[pl_o.q_slice]
+            z_full_n[pl_n.t_slice] = z_full_o[pl_o.t_slice]
+        z_full_n[lay_n.s_slice] = z_full_o[lay_o.s_slice]
+        return np.clip(z_full_n[new_it.free_idx], 0.0, None)
+
+    # -- constraint multipliers --------------------------------------
+    lam_o = np.asarray(res.lam)
+    lam_n = np.zeros(lay_n.m_total)
+    for pl_o, pl_n, t_o, t_n in zip(lay_o.phases, lay_n.phases,
+                                    prev_it.tables, new_it.tables):
+        dtau_o = np.diff(t_o.tau)           # (num_defect,)
+        dtau_n = np.diff(t_n.tau)
+        nd_o, nd_n = pl_o.num_defect, pl_n.num_defect
+        Wc_o = prev_it.W_c
+        Wc_n = new_it.W_c
+        for jj, _state in enumerate(pl_o.defect_states):
+            sl_o = slice(pl_o.c_defect_off + jj * nd_o,
+                         pl_o.c_defect_off + (jj + 1) * nd_o)
+            sl_n = slice(pl_n.c_defect_off + jj * nd_n,
+                         pl_n.c_defect_off + (jj + 1) * nd_n)
+            density = lam_o[sl_o] * Wc_o[sl_o] / dtau_o
+            dens_new = np.interp(t_n.tau[1:], t_o.tau[1:], density)
+            lam_n[sl_n] = dens_new * dtau_n / Wc_n[sl_n]
+        for jj in range(pl_o.npc):
+            sl_o = slice(pl_o.c_path_off + jj * pl_o.N,
+                         pl_o.c_path_off + (jj + 1) * pl_o.N)
+            sl_n = slice(pl_n.c_path_off + jj * pl_n.N,
+                         pl_n.c_path_off + (jj + 1) * pl_n.N)
+            vals = lam_o[sl_o] * Wc_o[sl_o]
+            lam_n[sl_n] = np.interp(t_n.tau, t_o.tau, vals) / Wc_n[sl_n]
+        lam_n[pl_n.c_integral_off:pl_n.c_integral_off + pl_n.nq] = \
+            lam_o[pl_o.c_integral_off:pl_o.c_integral_off + pl_o.nq]
+    if lay_n.nb:
+        lam_n[lay_n.c_endpoint_off:] = lam_o[lay_o.c_endpoint_off:]
+
+    mu_final = float(res.mu)
+    mu_init = prev_it.settings.ipm_mu_init
+    mu_warm = float(np.clip(np.sqrt(mu_final * mu_init), 1e-6, mu_init))
+    return dict(lam=lam_n, zl=interp_z(res.zl[:prev_it.n_free]),
+                zu=interp_z(res.zu[:prev_it.n_free]), mu=mu_warm)
+
+
 @dataclass
 class RefinementLoopResult:
     iterations: list
@@ -180,11 +251,12 @@ def run_mesh_refinement_loop(backend, display: bool = True):
     mesh_errors = []
     tolerance_met = False
     it = backend.mesh_iterations[-1]
+    warm = None
     for loop_idx in range(settings.max_mesh_iterations):
         if display:
             shapes = [f"K={t.K},N={t.N}" for t in it.tables]
             console_out(f"Mesh iteration {it.number} ({'; '.join(shapes)})")
-        result = it.solve()
+        result = it.solve(warm=warm)
         iterations.append(result)
         solution = Solution(result)
         refinement = solution.refine_mesh()
@@ -207,9 +279,11 @@ def run_mesh_refinement_loop(backend, display: bool = True):
                     f"meeting the mesh tolerance "
                     f"{settings.mesh_tolerance:.1e}.")
             break
+        prev_it = it
         it = backend.new_mesh_iteration(refinement.next_tables,
                                         refinement.next_guesses,
                                         solution.parameter)
+        warm = build_warm_start(result, prev_it, it)
     return RefinementLoopResult(iterations=iterations, solution=solution,
                                 mesh_tolerance_met=tolerance_met,
                                 mesh_errors=mesh_errors)

@@ -116,13 +116,19 @@ def _interior_init(x0, xl, xu, k1, k2):
 def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                      xl: np.ndarray, xu: np.ndarray,
                      cl: np.ndarray, cu: np.ndarray,
-                     options: IPMOptions = IPMOptions()):
+                     options: IPMOptions = IPMOptions(),
+                     derivatives: Optional[dict] = None):
     """Build a jittable IPM solver for one NLP family.
 
     ``f_fn(x, theta) -> scalar`` and ``c_fn(x, theta) -> (m,)`` must be
     JAX-traceable.  Bounds are static numpy arrays (they define the slack
     layout and masks at trace time).  Returns ``solve(x0, theta) ->
     IPMResult``; wrap in ``jax.vmap``/``jax.jit`` for batched solves.
+
+    ``derivatives`` optionally supplies structured evaluators
+    ``{"grad_f": (x, theta)->(n,), "jac_c": (x, theta)->(m, n),
+    "hess_lag": (x, lam, theta)->(n, n)}`` — e.g. the transcription's
+    per-node block assembly — replacing the generic whole-program AD.
     """
     xl = np.asarray(xl, dtype=float)
     xu = np.asarray(xu, dtype=float)
@@ -149,13 +155,16 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     J_s = np.zeros((m, ns))
     J_s[ineq_idx, np.arange(ns)] = -1.0
 
-    grad_f = jax.grad(f_fn)
-    jac_c = jax.jacfwd(c_fn) if n <= 4 * m else jax.jacrev(c_fn)
+    derivatives = derivatives or {}
+    grad_f = derivatives.get("grad_f") or jax.grad(f_fn)
+    jac_c = derivatives.get("jac_c") or (
+        jax.jacfwd(c_fn) if n <= 4 * m else jax.jacrev(c_fn))
 
     def lagrangian(x, lam, theta):
         return f_fn(x, theta) + c_fn(x, theta) @ lam
 
-    hess_lag = jax.hessian(lagrangian, argnums=0)
+    hess_lag = derivatives.get("hess_lag") \
+        or jax.hessian(lagrangian, argnums=0)
 
     jnp_vl = jnp.asarray(vl_f)
     jnp_vu = jnp.asarray(vu_f)
@@ -269,60 +278,101 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             dlam = dlam + (J @ ev - res2) / dc
             ok = ~(jnp.any(jnp.isnan(dv)) | jnp.any(jnp.isinf(dv))
                    | jnp.any(jnp.isnan(dlam)))
-            return dv, dlam, ok
+            return dv, dlam, ok, L
 
         def esc_cond(carry):
-            dw, _, _, ok, k = carry
+            dw, _, _, ok, k, _ = carry
             return (~ok) & (k < 30)
 
         def esc_body(carry):
-            dw, _, _, _, k = carry
+            dw, _, _, _, k, _ = carry
             dw_next = jnp.where(dw == 0.0,
                                 jnp.maximum(opt.delta_w_min,
                                             0.3 * dw_last),
                                 dw * opt.delta_w_up)
             dw_next = jnp.minimum(dw_next, opt.delta_w_max)
-            dv, dlam, ok = attempt(dw_next)
-            return (dw_next, dv, dlam, ok, k + 1)
+            dv, dlam, ok, L = attempt(dw_next)
+            return (dw_next, dv, dlam, ok, k + 1, L)
 
-        dv0, dlam0, ok0 = attempt(jnp.asarray(0.0, v.dtype))
-        dw_used, dv, dlam, ok, _ = jax.lax.while_loop(
+        dv0, dlam0, ok0, L0 = attempt(jnp.asarray(0.0, v.dtype))
+        dw_used, dv, dlam, ok, _, L = jax.lax.while_loop(
             esc_cond, esc_body,
             (jnp.asarray(0.0, v.dtype), dv0, dlam0, ok0,
-             jnp.asarray(0, jnp.int32)))
+             jnp.asarray(0, jnp.int32), L0))
         dzl = jnp.where(jnp_has_l, mu_dl - zl - sig_l * dv, 0.0)
         dzu = jnp.where(jnp_has_u, mu_du - zu + sig_u * dv, 0.0)
         # Directional derivative of the barrier objective along dv.
         step_dir = gf @ dv[:n] - jnp.sum(mu_dl * dv) + jnp.sum(mu_du * dv)
-        return dv, dlam, dzl, dzu, step_dir, dw_used, ok
 
-    def fraction_to_boundary(v, zl, zu, dv, dzl, dzu, mu):
+        def corrector(rg_soc):
+            """Solve the KKT system with rhs (0, rg_soc) using the
+            existing factorization (for second-order corrections)."""
+            dv_c = jax.scipy.linalg.cho_solve(
+                (L, True), -(J.T @ (rg_soc / dc)))
+            dlam_c = (J @ dv_c + rg_soc) / dc
+            return dv_c, dlam_c
+
+        return dv, dlam, dzl, dzu, step_dir, dw_used, ok, corrector
+
+    def ftb_primal(v, disp, mu):
+        """Largest step fraction keeping v + a*disp interior (tau rule)."""
         tau = jnp.maximum(opt.tau_min, 1.0 - mu)
         dl, du = dists(v)
-        a_l = jnp.where(jnp_has_l & (dv < 0), -tau * dl / jnp.minimum(dv, -1e-300), jnp.inf)
-        a_u = jnp.where(jnp_has_u & (dv > 0), tau * du / jnp.maximum(dv, 1e-300), jnp.inf)
-        alpha_pri = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l), jnp.min(a_u)))
-        b_l = jnp.where(jnp_has_l & (dzl < 0), -tau * zl / jnp.minimum(dzl, -1e-300), jnp.inf)
-        b_u = jnp.where(jnp_has_u & (dzu < 0), -tau * zu / jnp.minimum(dzu, -1e-300), jnp.inf)
-        alpha_dual = jnp.minimum(1.0, jnp.minimum(jnp.min(b_l),
-                                                  jnp.min(b_u)))
-        return alpha_pri, alpha_dual
+        a_l = jnp.where(jnp_has_l & (disp < 0),
+                        -tau * dl / jnp.minimum(disp, -1e-300), jnp.inf)
+        a_u = jnp.where(jnp_has_u & (disp > 0),
+                        tau * du / jnp.maximum(disp, 1e-300), jnp.inf)
+        return jnp.minimum(1.0, jnp.minimum(jnp.min(a_l), jnp.min(a_u)))
 
-    def line_search(v, dv, mu, nu, alpha_max, gf_dv, theta):
-        """Batched-trial Armijo backtracking (single vmapped sweep)."""
+    def ftb_dual(zl, zu, dzl, dzu, mu):
+        tau = jnp.maximum(opt.tau_min, 1.0 - mu)
+        b_l = jnp.where(jnp_has_l & (dzl < 0),
+                        -tau * zl / jnp.minimum(dzl, -1e-300), jnp.inf)
+        b_u = jnp.where(jnp_has_u & (dzu < 0),
+                        -tau * zu / jnp.minimum(dzu, -1e-300), jnp.inf)
+        return jnp.minimum(1.0, jnp.minimum(jnp.min(b_l), jnp.min(b_u)))
+
+    def line_search(v, dv, dlam, mu, nu, alpha_max, gf_dv, corrector,
+                    theta):
+        """Armijo backtracking as one batched trial sweep, plus a
+        second-order correction (SOC) candidate at the full step.
+
+        The SOC re-solves the KKT system with the constraint residual of
+        the full trial point (factorization reused), curing the
+        curvature-induced rejection of full Newton steps on stiff
+        transcriptions (the Maratos effect) the same way IPOPT does.
+        Returns the *effective* primal and multiplier displacements.
+        """
+        phi0 = merit(v, mu, nu, theta)
+        g0 = g_fn(v, theta)
+        dphi = gf_dv - nu * jnp.sum(jnp.abs(g0))
+        dphi = jnp.minimum(dphi, 0.0)
         alphas = alpha_max * (0.5 ** jnp.arange(opt.max_ls))
         phis = jax.vmap(lambda a: merit(v + a * dv, mu, nu, theta))(alphas)
-        phi0 = merit(v, mu, nu, theta)
-        # Directional derivative of the merit: barrier-objective part from
-        # the step computation, plus the predicted full decrease of ||g||_1
-        # (the Newton step satisfies J dv = -g up to dual regularization).
-        dphi = gf_dv - nu * jnp.sum(jnp.abs(g_fn(v, theta)))
-        dphi = jnp.minimum(dphi, 0.0)
         ok = phis <= phi0 + opt.eta_armijo * alphas * dphi
         any_ok = jnp.any(ok)
         first = jnp.argmax(ok)
-        alpha = jnp.where(any_ok, alphas[first], alphas[-1])
-        return alpha, any_ok
+        alpha_plain = jnp.where(any_ok, alphas[first], alphas[-1])
+
+        # SOC candidate from the full-step constraint residual.
+        g_trial = g_fn(v + alpha_max * dv, theta)
+        dv_c, dlam_c = corrector(alpha_max * g0 + g_trial)
+        soc_bad = jnp.any(jnp.isnan(dv_c))
+        dv_c = jnp.where(soc_bad, 0.0, dv_c)
+        dlam_c = jnp.where(soc_bad, 0.0, dlam_c)
+        disp = alpha_max * dv + dv_c
+        beta = ftb_primal(v, disp, mu)
+        phi_soc = merit(v + beta * disp, mu, nu, theta)
+        soc_ok = (phi_soc <= phi0 + opt.eta_armijo * beta * alpha_max
+                  * dphi) & (~soc_bad)
+        use_soc = soc_ok & (beta * alpha_max > alpha_plain) \
+            & (~ok[0])   # full plain step already fine -> no SOC needed
+        dv_eff = jnp.where(use_soc, beta * disp, alpha_plain * dv)
+        dlam_eff = jnp.where(use_soc,
+                             beta * (alpha_max * dlam + dlam_c),
+                             alpha_plain * dlam)
+        alpha_rep = jnp.where(use_soc, beta * alpha_max, alpha_plain)
+        return dv_eff, dlam_eff, alpha_rep, any_ok | soc_ok
 
     def update_nu(nu, v, gf_dv, theta):
         """Merit penalty update (IPOPT eq. 3.5 with rho = 0.1)."""
@@ -332,7 +382,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
 
     def body(state: _State, theta):
         v, lam, zl, zu, mu, nu, dw, dw_last, it, _, done = state
-        dv, dlam, dzl, dzu, gf_dv, dw_used, ok = compute_step(
+        dv, dlam, dzl, dzu, gf_dv, dw_used, ok, corrector = compute_step(
             v, lam, zl, zu, mu, dw_last, theta)
         bad = ~ok
         # A totally failed factorization (even at delta_w_max) must not
@@ -343,14 +393,15 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         dzu = jnp.where(bad, 0.0, dzu)
         gf_dv = jnp.where(bad, 0.0, gf_dv)
         nu_new = update_nu(nu, v, gf_dv, theta)
-        alpha_max, alpha_dual = fraction_to_boundary(v, zl, zu, dv, dzl,
-                                                     dzu, mu)
-        alpha, ls_ok = line_search(v, dv, mu, nu_new, alpha_max, gf_dv,
-                                   theta)
-        alpha = jnp.where(bad, 0.0, alpha)
+        alpha_max = ftb_primal(v, dv, mu)
+        alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
+        dv_eff, dlam_eff, alpha, ls_ok = line_search(
+            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta)
+        dv_eff = jnp.where(bad, 0.0, dv_eff)
+        dlam_eff = jnp.where(bad, 0.0, dlam_eff)
         alpha_dual = jnp.where(bad, 0.0, alpha_dual)
-        v_n = v + alpha * dv
-        lam_n = lam + alpha * dlam
+        v_n = v + dv_eff
+        lam_n = lam + dlam_eff
         zl_n = zl + alpha_dual * dzl
         zu_n = zu + alpha_dual * dzu
         # kappa_Sigma safeguard keeps z consistent with mu/d.
@@ -378,7 +429,15 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         return _State(v_n, lam_n, zl_n, zu_n, mu_n, nu_new, dw_used,
                       dw_last_n, it + 1, e_0, done_n)
 
-    def init_state(x0, theta):
+    def init_state(x0, theta, lam0=None, zl0=None, zu0=None, mu0=None):
+        """Initial IPM state; optionally warm-started with multipliers.
+
+        Warm-start inputs (``lam0`` (m,), ``zl0``/``zu0`` (n,) for the
+        original variables, ``mu0`` scalar) are what the mesh-refinement
+        loop carries between iterations — the TPU-native equivalent of
+        the reference's IPOPT ``warm_start_init_point``
+        (``pycollo/backend.py:1703-1709``).
+        """
         x0 = jnp.asarray(x0, dtype=jnp_vl.dtype)
         xl_j = jnp.asarray(xl)
         xu_j = jnp.asarray(xu)
@@ -391,12 +450,27 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             v0 = jnp.concatenate([x_init, s_init])
         else:
             v0 = x_init
+        mu0 = jnp.asarray(opt.mu_init if mu0 is None else mu0,
+                          dtype=v0.dtype)
         dl0, du0 = dists(v0)
-        zl0 = jnp.where(jnp_has_l, opt.mu_init / dl0, 0.0)
-        zu0 = jnp.where(jnp_has_u, opt.mu_init / du0, 0.0)
-        lam0 = jnp.zeros(m)
-        mu0 = jnp.asarray(opt.mu_init, dtype=v0.dtype)
-        return _State(v0, lam0, zl0, zu0, mu0,
+        zl_def = jnp.where(jnp_has_l, mu0 / dl0, 0.0)
+        zu_def = jnp.where(jnp_has_u, mu0 / du0, 0.0)
+        if zl0 is not None:
+            zl_x = jnp.clip(jnp.asarray(zl0), 1e-8, 1e8)
+            zl_init = jnp.where(jnp_has_l,
+                                jnp.concatenate([zl_x, zl_def[n:]])
+                                if ns else zl_x, 0.0)
+        else:
+            zl_init = zl_def
+        if zu0 is not None:
+            zu_x = jnp.clip(jnp.asarray(zu0), 1e-8, 1e8)
+            zu_init = jnp.where(jnp_has_u,
+                                jnp.concatenate([zu_x, zu_def[n:]])
+                                if ns else zu_x, 0.0)
+        else:
+            zu_init = zu_def
+        lam_init = jnp.zeros(m) if lam0 is None else jnp.asarray(lam0)
+        return _State(v0, lam_init, zl_init, zu_init, mu0,
                       jnp.asarray(1.0, v0.dtype),
                       jnp.asarray(opt.delta_w_init, v0.dtype),
                       jnp.asarray(opt.delta_w_first, v0.dtype),
@@ -404,9 +478,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                       jnp.asarray(jnp.inf, v0.dtype),
                       jnp.asarray(False))
 
-    def solve(x0, theta):
-        state0 = init_state(x0, theta)
-
+    def _run(state0, theta):
         def cond(state):
             return (~state.done) & (state.it < opt.max_iter)
 
@@ -419,8 +491,46 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                          mu=final.mu, iterations=final.it,
                          converged=final.done)
 
+    def solve(x0, theta):
+        return _run(init_state(x0, theta), theta)
+
+    def solve_warm(x0, theta, lam0, zl0, zu0, mu0):
+        return _run(init_state(x0, theta, lam0, zl0, zu0, mu0), theta)
+
+    solve.warm = solve_warm
+
+    def debug_step(state: _State, theta):
+        """One body step with diagnostics (host-side debugging only)."""
+        v, lam, zl, zu, mu, nu, dw, dw_last, it, _, done = state
+        dv, dlam, dzl, dzu, gf_dv, dw_used, ok, corrector = compute_step(
+            v, lam, zl, zu, mu, dw_last, theta)
+        nu_new = update_nu(nu, v, gf_dv, theta)
+        alpha_max = ftb_primal(v, dv, mu)
+        alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
+        _, _, alpha, ls_ok = line_search(
+            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta)
+        x = v[:n]
+        gf = grad_f(x, theta)
+        Jc = jac_c(x, theta)
+        rd = jnp.concatenate([gf + Jc.T @ lam,
+                              -lam[ineq_idx] if ns else jnp.zeros(0)]) \
+            - zl + zu
+        dl, du = dists(v)
+        return dict(alpha=float(alpha), alpha_max=float(alpha_max),
+                    alpha_dual=float(alpha_dual), ls_ok=bool(ls_ok),
+                    ok=bool(ok), dw_used=float(dw_used),
+                    gf_dv=float(gf_dv),
+                    g_inf=float(jnp.max(jnp.abs(g_fn(v, theta)))) if m
+                    else 0.0,
+                    rd_inf=float(jnp.max(jnp.abs(rd))),
+                    compl_inf=float(jnp.max(jnp.abs(jnp.where(
+                        jnp_has_l, dl * zl - mu, 0.0)))),
+                    dv_inf=float(jnp.max(jnp.abs(dv))),
+                    merit=float(merit(v, mu, nu_new, theta)))
+
     solve.dims = dict(n=n, m=m, ns=ns, nv=nv)
     solve.ineq_idx = ineq_idx
+    solve._debug_step = debug_step
     # Debug / introspection hooks (used by tests and the tuning harness).
     solve._body = body
     solve._init_state = init_state

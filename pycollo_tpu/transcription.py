@@ -516,6 +516,241 @@ class MeshIteration:
         self.c_unscaled = c_unscaled
         self._constraints_raw = constraints_raw
         self._objective_raw = objective_raw
+        self._jtables = jtables
+
+    # -- structured derivatives -------------------------------------------
+    def _build_structured_derivatives(self):
+        """Per-node block assembly of the constraint Jacobian and the
+        Lagrangian Hessian.
+
+        TPU-native replacement for the reference's sparse symbolic AD
+        (hSAD ``expression_graph.py`` / the block-structured assembly in
+        ``compiled.py:213-539``): the only nonlinearities are the
+        *per-node* user functions, so their small Jacobian/Hessian blocks
+        are computed with a single ``vmap`` over all mesh nodes and
+        scattered into the transcription operators' structural pattern.
+        Cost is O(node_dim x node_eval x N) instead of O(n x full_eval) —
+        the difference between one batched pass and hundreds of
+        whole-program AD sweeps.
+        """
+        import jax
+        import jax.numpy as jnp
+        lay = self.layout
+        program = self.compiled.program
+        jtables = self._jtables
+        free_idx = jnp.asarray(self.free_idx)
+        V_free = jnp.asarray(self.V_full[self.free_idx])
+        jW_c = jnp.asarray(self.W_c)
+        w_obj = self.w
+        n_full = lay.n_full
+        m_total = lay.m_total
+
+        # Static per-phase index arrays.
+        phase_static = []
+        ep_idx_list = []
+        for pl, t in zip(lay.phases, self.tables):
+            nz = pl.ny + pl.nu
+            node_cols = np.empty((pl.N, nz), dtype=np.int64)
+            for l in range(pl.ny):
+                node_cols[:, l] = pl.y_off + l * pl.N + np.arange(pl.N)
+            for l in range(pl.nu):
+                node_cols[:, pl.ny + l] = pl.u_off + l * pl.N \
+                    + np.arange(pl.N)
+            # Hessian node block covers [z..., t0, tF, s...].
+            D = nz + 2 + lay.ns
+            hess_idx = np.empty((pl.N, D), dtype=np.int64)
+            hess_idx[:, :nz] = node_cols
+            hess_idx[:, nz] = pl.t_off
+            hess_idx[:, nz + 1] = pl.t_off + 1
+            hess_idx[:, nz + 2:] = lay.s_off + np.arange(lay.ns)[None, :]
+            phase_static.append(dict(node_cols=jnp.asarray(node_cols),
+                                     hess_idx=jnp.asarray(hess_idx),
+                                     nz=nz, D=D))
+            ep_idx_list.extend(
+                [pl.y_off + l * pl.N for l in range(pl.ny)]
+                + [pl.y_off + (l + 1) * pl.N - 1 for l in range(pl.ny)]
+                + list(range(pl.q_off, pl.q_off + pl.nq))
+                + [pl.t_off, pl.t_off + 1])
+        ep_idx_list.extend(range(lay.s_off, lay.s_off + lay.ns))
+        ep_idx = jnp.asarray(np.asarray(ep_idx_list, dtype=np.int64))
+
+        def phase_F(i, pl, jt):
+            """Per-node concatenated user function (f, path, rho)."""
+            pf = program.phase_functions[i]
+            tau = jt["tau"]
+
+            def F(wz, t0, tF, s, tau_j):
+                y = wz[:pl.ny]
+                u = wz[pl.ny:]
+                t_j = 0.5 * (tF - t0) * tau_j + 0.5 * (t0 + tF)
+                parts = [pf.dynamics(y, u, t_j, s)]
+                if pl.npc:
+                    parts.append(pf.path(y, u, t_j, s))
+                if pl.nq:
+                    parts.append(pf.integrand(y, u, t_j, s))
+                return jnp.concatenate(parts)
+
+            return F
+
+        def jac_full(x_full):
+            """Dense (m_total, n_full) Jacobian of the raw constraints."""
+            s = x_full[lay.s_slice]
+            J = jnp.zeros((m_total, n_full))
+            for i, (pl, jt, st) in enumerate(zip(lay.phases, jtables,
+                                                 phase_static)):
+                t0 = x_full[pl.t_off]
+                tF = x_full[pl.t_off + 1]
+                stretch = 0.5 * (tF - t0)
+                y = x_full[pl.y_slice].reshape(pl.ny, pl.N)
+                u = x_full[pl.u_slice].reshape(pl.nu, pl.N)
+                wz = jnp.concatenate([y, u], axis=0).T        # (N, nz)
+                F = phase_F(i, pl, jt)
+                Jw, Jt0, JtF, Js = jax.vmap(
+                    jax.jacfwd(F, argnums=(0, 1, 2, 3)),
+                    in_axes=(0, None, None, None, 0))(
+                        wz, t0, tF, s, jt["tau"])
+                Fv = jax.vmap(F, in_axes=(0, None, None, None, 0))(
+                    wz, t0, tF, s, jt["tau"])                # (N, nf)
+                E, I, W = jt["E"], jt["I"], jt["W"]
+                nd = pl.num_defect
+                # Defect rows.
+                for kk, k in enumerate(pl.defect_states):
+                    rows = pl.c_defect_off + kk * nd + jnp.arange(nd)
+                    blk = stretch * I[:, :, None] * Jw[None, :, k, :]
+                    J = J.at[rows[:, None, None],
+                             st["node_cols"][None, :, :]].add(blk)
+                    J = J.at[rows[:, None],
+                             st["node_cols"][None, :, k]].add(E)
+                    If_k = I @ Fv[:, k]
+                    col_t0 = -0.5 * If_k + stretch * (I @ Jt0[:, k])
+                    col_tF = 0.5 * If_k + stretch * (I @ JtF[:, k])
+                    J = J.at[rows, pl.t_off].add(col_t0)
+                    J = J.at[rows, pl.t_off + 1].add(col_tF)
+                    if lay.ns:
+                        J = J.at[rows[:, None],
+                                 lay.s_off + jnp.arange(lay.ns)[None, :]
+                                 ].add(stretch * (I @ Js[:, k, :]))
+                # Path rows.
+                for k in range(pl.npc):
+                    rows = pl.c_path_off + k * pl.N + jnp.arange(pl.N)
+                    J = J.at[rows[:, None],
+                             st["node_cols"]].add(Jw[:, pl.ny + k, :])
+                    J = J.at[rows, pl.t_off].add(Jt0[:, pl.ny + k])
+                    J = J.at[rows, pl.t_off + 1].add(JtF[:, pl.ny + k])
+                    if lay.ns:
+                        J = J.at[rows[:, None],
+                                 lay.s_off + jnp.arange(lay.ns)[None, :]
+                                 ].add(Js[:, pl.ny + k, :])
+                # Integral rows.
+                iq0 = pl.ny + pl.npc
+                for k in range(pl.nq):
+                    row = pl.c_integral_off + k
+                    J = J.at[row, st["node_cols"]].add(
+                        -stretch * W[:, None] * Jw[:, iq0 + k, :])
+                    J = J.at[row, pl.q_off + k].add(1.0)
+                    Wr = W @ Fv[:, iq0 + k]
+                    J = J.at[row, pl.t_off].add(
+                        0.5 * Wr - stretch * (W @ Jt0[:, iq0 + k]))
+                    J = J.at[row, pl.t_off + 1].add(
+                        -0.5 * Wr - stretch * (W @ JtF[:, iq0 + k]))
+                    if lay.ns:
+                        J = J.at[row,
+                                 lay.s_off + jnp.arange(lay.ns)].add(
+                            -stretch * (W @ Js[:, iq0 + k, :]))
+            # Endpoint rows: nb is small; reverse-mode through the
+            # endpoint extraction is cheap and exact.
+            if lay.nb:
+                def b_of(xf):
+                    return program.endpoint_constraints(
+                        self.endpoints_of(xf))
+                J = J.at[lay.c_endpoint_off:, :].add(jax.jacrev(b_of)(
+                    x_full))
+            return J
+
+        def hess_full(x_full, eta):
+            """Dense (n_full, n_full) Hessian of eta . c_raw + w J."""
+            s = x_full[lay.s_slice]
+            H = jnp.zeros((n_full, n_full))
+            for i, (pl, jt, st) in enumerate(zip(lay.phases, jtables,
+                                                 phase_static)):
+                t0 = x_full[pl.t_off]
+                tF = x_full[pl.t_off + 1]
+                y = x_full[pl.y_slice].reshape(pl.ny, pl.N)
+                u = x_full[pl.u_slice].reshape(pl.nu, pl.N)
+                wz = jnp.concatenate([y, u], axis=0).T
+                nd = pl.num_defect
+                I, W = jt["I"], jt["W"]
+                # Per-node multiplier weights.
+                kappa_f = jnp.zeros((pl.N, pl.ny))
+                for kk, k in enumerate(pl.defect_states):
+                    eta_k = jax.lax.dynamic_slice(
+                        eta, (pl.c_defect_off + kk * nd,), (nd,))
+                    kappa_f = kappa_f.at[:, k].set(I.T @ eta_k)
+                eta_p = jax.lax.dynamic_slice(
+                    eta, (pl.c_path_off,), (pl.npc * pl.N,)).reshape(
+                        pl.npc, pl.N) if pl.npc else jnp.zeros((0, pl.N))
+                eta_i = jax.lax.dynamic_slice(
+                    eta, (pl.c_integral_off,), (pl.nq,)) if pl.nq \
+                    else jnp.zeros(0)
+                pf = program.phase_functions[i]
+
+                def phi(vec, kf_j, ep_j, W_j, tau_j):
+                    nz = st["nz"]
+                    yv = vec[:pl.ny]
+                    uv = vec[pl.ny:nz]
+                    t0v = vec[nz]
+                    tFv = vec[nz + 1]
+                    sv = vec[nz + 2:]
+                    stretch_v = 0.5 * (tFv - t0v)
+                    t_j = stretch_v * tau_j + 0.5 * (t0v + tFv)
+                    val = stretch_v * (kf_j @ pf.dynamics(yv, uv, t_j, sv))
+                    if pl.npc:
+                        val = val + ep_j @ pf.path(yv, uv, t_j, sv)
+                    if pl.nq:
+                        val = val - stretch_v * W_j * (
+                            eta_i @ pf.integrand(yv, uv, t_j, sv))
+                    return val
+
+                vecs = jnp.concatenate(
+                    [wz,
+                     jnp.broadcast_to(t0, (pl.N, 1)),
+                     jnp.broadcast_to(tF, (pl.N, 1)),
+                     jnp.broadcast_to(s, (pl.N, lay.ns))], axis=1)
+                blocks = jax.vmap(jax.hessian(phi),
+                                  in_axes=(0, 0, 1, 0, 0))(
+                    vecs, kappa_f, eta_p, W, jt["tau"])   # (N, D, D)
+                H = H.at[st["hess_idx"][:, :, None],
+                         st["hess_idx"][:, None, :]].add(blocks)
+            # Endpoint/objective part over the endpoint-relevant entries.
+            def ep_val(x_ep):
+                xf = x_full.at[ep_idx].set(x_ep)
+                ep = self.endpoints_of(xf)
+                val = w_obj * program.objective(ep)
+                if lay.nb:
+                    eta_b = jax.lax.dynamic_slice(
+                        eta, (lay.c_endpoint_off,), (lay.nb,))
+                    val = val + eta_b @ program.endpoint_constraints(ep)
+                return jnp.squeeze(val)
+
+            Hep = jax.hessian(ep_val)(x_full[ep_idx])
+            H = H.at[ep_idx[:, None], ep_idx[None, :]].add(Hep)
+            return H
+
+        def jac_c_scaled(xs, theta):
+            x_full = self.assemble_full(xs, theta)
+            J = jac_full(x_full)
+            return (jW_c[:, None] * J[:, free_idx]) * V_free[None, :]
+
+        def hess_lag_scaled(xs, lam, theta):
+            x_full = self.assemble_full(xs, theta)
+            eta = jW_c * lam
+            H = hess_full(x_full, eta)
+            Hf = H[free_idx[:, None], free_idx[None, :]]
+            return Hf * V_free[:, None] * V_free[None, :]
+
+        self.jac_c_scaled = jac_c_scaled
+        self.hess_lag_scaled = hess_lag_scaled
+        return dict(jac_c=jac_c_scaled, hess_lag=hess_lag_scaled)
 
     # -- scaling ---------------------------------------------------------
     def _build_scaling(self):
@@ -534,10 +769,8 @@ class MeshIteration:
             # Constraint scales: defect rows 1/V_y, integral rows 1/V_q,
             # path/endpoint rows 1/(row norms of G at the guess).
             W_c = np.ones(lay.m_total)
-            need_G = any(pl.npc for pl in lay.phases) or lay.nb
-            if need_G:
-                G = np.asarray(jax.jacrev(self.c_unscaled)(xs0, theta0))
-                G_norm = np.sqrt((G ** 2).sum(axis=1))
+            G = np.asarray(jax.jacrev(self.c_unscaled)(xs0, theta0))
+            G_norm = np.sqrt((G ** 2).sum(axis=1))
             for pl, pb in zip(lay.phases, self.compiled.phase_bounds):
                 Vy = self.V_full[pl.y_slice].reshape(pl.ny, pl.N)[:, 0]
                 d_scales = 1.0 / Vy[pl.defect_states]
@@ -555,6 +788,15 @@ class MeshIteration:
             if lay.nb:
                 rows = G_norm[lay.c_endpoint_off:]
                 W_c[lay.c_endpoint_off:] = 1.0 / np.maximum(rows, 1e-8)
+            # IPOPT-style gradient-based row scaling on top of the
+            # reference-parity scales: the reference hands its scaled NLP
+            # to IPOPT, whose default ``nlp_scaling_method =
+            # gradient-based`` further caps each row's max gradient at
+            # 100.  Without this layer, stiff problems (large
+            # time-stretch factors) leave defect rows with gradients in
+            # the hundreds and the merit line search collapses.
+            G_inf = np.abs(G * W_c[:, None]).max(axis=1)
+            W_c *= np.minimum(1.0, 100.0 / np.maximum(G_inf, 1e-8))
             self.W_c = W_c
             # Objective scale w: 1.0 on the first mesh iteration, then
             # 1/||grad J|| at the guess (``pycollo/scaling.py:271-281``).
@@ -564,6 +806,9 @@ class MeshIteration:
                 g = np.asarray(jax.grad(self.f_unscaled)(xs0, theta0))
                 g_norm = float(np.sqrt((g ** 2).sum()))
                 self.w = 1.0 if np.isclose(g_norm, 0.0) else 1.0 / g_norm
+            gJ = np.asarray(jax.grad(self.f_unscaled)(xs0, theta0))
+            gJ_inf = float(np.abs(self.w * gJ).max())
+            self.w *= min(1.0, 100.0 / max(gJ_inf, 1e-8))
 
         jW_c = self._jnp.asarray(self.W_c)
         w = self.w
@@ -580,30 +825,47 @@ class MeshIteration:
         self.cu_scaled = self.W_c * self.cu
 
     # -- solve ------------------------------------------------------------
-    def build_solver(self, options=None):
+    def build_solver(self, options=None, use_structured=True):
         from .solver.ipm import IPMOptions, build_ipm_solver
         if options is None:
             options = IPMOptions(tol=self.settings.nlp_tolerance,
                                  max_iter=self.settings.max_nlp_iterations,
                                  mu_init=self.settings.ipm_mu_init,
                                  mu_min=self.settings.ipm_mu_min)
+        derivatives = self._build_structured_derivatives() \
+            if use_structured else None
         self._solver = build_ipm_solver(self.f_scaled, self.c_scaled,
                                         self.xs_lb, self.xs_ub,
                                         self.cl_scaled, self.cu_scaled,
-                                        options)
+                                        options, derivatives=derivatives)
         self._solve_fn = self._jax.jit(self._solver)
+        self._solve_warm_fn = self._jax.jit(self._solver.warm)
         return self._solver
 
-    def solve(self, theta=None):
-        """Solve this mesh iteration's NLP; returns an IterationResult."""
+    def solve(self, theta=None, warm=None):
+        """Solve this mesh iteration's NLP; returns an IterationResult.
+
+        ``warm`` is an optional dict with keys ``lam`` (m,), ``zl``/``zu``
+        (n_free,), ``mu`` (scalar) interpolated from the previous mesh
+        iteration (see ``refinement.build_warm_start``).
+        """
         import time
         if self._solver is None:
             self.build_solver()
         if theta is None:
             theta = self.theta_default
         t0 = time.perf_counter()
-        res = self._solve_fn(self._jnp.asarray(self.xs_guess),
-                             self._jnp.asarray(theta))
+        jnp = self._jnp
+        if warm is None:
+            res = self._solve_fn(jnp.asarray(self.xs_guess),
+                                 jnp.asarray(theta))
+        else:
+            res = self._solve_warm_fn(jnp.asarray(self.xs_guess),
+                                      jnp.asarray(theta),
+                                      jnp.asarray(warm["lam"]),
+                                      jnp.asarray(warm["zl"]),
+                                      jnp.asarray(warm["zu"]),
+                                      jnp.asarray(warm["mu"]))
         res.x.block_until_ready()
         solve_time = time.perf_counter() - t0
         x_full = np.asarray(self.assemble_full(res.x,
