@@ -26,6 +26,7 @@ from .ocp import OptimalControlProblem                   # noqa: E402,F401
 from .phase import Phase                                 # noqa: E402,F401
 from .settings import Settings                           # noqa: E402,F401
 from .structures import Endpoints, PhaseEndpoints        # noqa: E402,F401
+from .user_scaling import EndpointScaling, PhaseScaling  # noqa: E402,F401
 
 __all__ = [
     "OptimalControlProblem",

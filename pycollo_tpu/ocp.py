@@ -96,10 +96,14 @@ class OptimalControlProblem:
     def new_phase_like(self, phase_for_copying: Phase, name=None,
                        **kwargs) -> Phase:
         """Create a new phase copying an existing one's definition."""
-        return phase_for_copying.create_new_copy(self, name=name, **kwargs)
+        return phase_for_copying.create_new_copy(
+            name, optimal_control_problem=self, **kwargs)
 
-    def new_phases_like(self, phase_for_copying: Phase, number: int,
-                        names=None, **kwargs):
+    def new_phases_like(self, phase_for_copying: Phase = None,
+                        number: int = 1, names=None, **kwargs):
+        """Create several copies of a phase
+        (``pycollo/optimal_control_problem.py`` API parity; used by
+        ``examples/delta_iii_launch_vehicle``)."""
         if names is None:
             names = [None] * number
         return tuple(self.new_phase_like(phase_for_copying, name=n, **kwargs)

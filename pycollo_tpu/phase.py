@@ -25,6 +25,7 @@ from typing import Callable, Iterable, Optional, Tuple, Union
 from .bounds import PhaseBounds
 from .guess import PhaseGuess
 from .mesh import PhaseMesh
+from .user_scaling import PhaseScaling
 
 
 class NamedVarTuple(tuple):
@@ -89,6 +90,7 @@ class Phase:
         self.guess.phase = self
         self.mesh = mesh if mesh is not None else PhaseMesh(phase=self)
         self.mesh.phase = self
+        self.scaling = PhaseScaling(phase=self)
 
         if state_variables is not None:
             self.state_variables = state_variables
@@ -283,35 +285,66 @@ class Phase:
         return any(_is_symbolic(v) for v in self._state_variables)
 
     # -- copying -------------------------------------------------------
-    def create_new_copy(self, optimal_control_problem=None, *, name=None,
-                        copy_bounds: bool = True, copy_guess: bool = True,
-                        copy_mesh: bool = True):
-        """Clone this phase's definition (``pycollo/phase.py:156-214``)."""
+    def create_new_copy(self, name=None, optimal_control_problem=None, *,
+                        copy_state_variables: bool = True,
+                        copy_control_variables: bool = True,
+                        copy_state_equations: bool = True,
+                        copy_path_constraints: bool = True,
+                        copy_integrand_functions: bool = True,
+                        copy_state_endpoint_constraints: bool = False,
+                        copy_bounds: bool = True,
+                        copy_mesh: bool = True,
+                        copy_scaling: bool = True,
+                        copy_guess: bool = True):
+        """Clone this phase's definition with granular copy flags
+        (signature parity with ``pycollo/phase.py:156-214``)."""
+        import copy as _copy
         new = Phase(name=name)
-        new._state_variables = self._state_variables
-        new._control_variables = self._control_variables
-        new._state_equations = self._state_equations
-        new._path_constraints = self._path_constraints
-        new._integrand_functions = self._integrand_functions
-        new._num_path_constraints = self._num_path_constraints
-        new._num_integrand_functions = self._num_integrand_functions
-        new.auxiliary_data = dict(self.auxiliary_data)
+        b, g = self.bounds, self.guess
+        if copy_state_variables:
+            new._state_variables = self._state_variables
+            if copy_bounds:
+                new.bounds.state_variables = _copy.deepcopy(
+                    b.state_variables)
+            if copy_guess:
+                new.guess.state_variables = _copy.deepcopy(
+                    g.state_variables)
+        if copy_control_variables:
+            new._control_variables = self._control_variables
+            if copy_bounds:
+                new.bounds.control_variables = _copy.deepcopy(
+                    b.control_variables)
+            if copy_guess:
+                new.guess.control_variables = _copy.deepcopy(
+                    g.control_variables)
+        if copy_state_equations:
+            new._state_equations = self._state_equations
+        if copy_path_constraints:
+            new._path_constraints = self._path_constraints
+            new._num_path_constraints = self._num_path_constraints
+            if copy_bounds:
+                new.bounds.path_constraints = _copy.deepcopy(
+                    b.path_constraints)
+        if copy_integrand_functions:
+            new._integrand_functions = self._integrand_functions
+            new._num_integrand_functions = self._num_integrand_functions
+            if copy_bounds:
+                new.bounds.integral_variables = _copy.deepcopy(
+                    b.integral_variables)
+            if copy_guess:
+                new.guess.integral_variables = _copy.deepcopy(
+                    g.integral_variables)
+        if copy_state_endpoint_constraints and copy_bounds:
+            new.bounds.initial_state_constraints = _copy.deepcopy(
+                b.initial_state_constraints)
+            new.bounds.final_state_constraints = _copy.deepcopy(
+                b.final_state_constraints)
         if copy_bounds:
-            b = self.bounds
-            new.bounds = PhaseBounds(
-                phase=new, initial_time=b.initial_time,
-                final_time=b.final_time, state_variables=b.state_variables,
-                control_variables=b.control_variables,
-                integral_variables=b.integral_variables,
-                path_constraints=b.path_constraints,
-                initial_state_constraints=b.initial_state_constraints,
-                final_state_constraints=b.final_state_constraints)
-        if copy_guess:
-            g = self.guess
-            new.guess = PhaseGuess(
-                phase=new, time=g.time, state_variables=g.state_variables,
-                control_variables=g.control_variables,
-                integral_variables=g.integral_variables)
+            new.bounds.initial_time = b.initial_time
+            new.bounds.final_time = b.final_time
+        if copy_guess and g.time is not None:
+            new.guess.time = g.time
+        new.auxiliary_data = dict(self.auxiliary_data)
         if copy_mesh:
             new.mesh = PhaseMesh(
                 phase=new,
@@ -321,6 +354,12 @@ class Phase:
         if optimal_control_problem is not None:
             optimal_control_problem.add_phase(new)
         return new
+
+    @staticmethod
+    def create_new_copy_like(phase_for_copying: "Phase", name=None,
+                             **kwargs):
+        """Constructor to copy a phase (``pycollo/phase.py:216-219``)."""
+        return phase_for_copying.create_new_copy(name, **kwargs)
 
     def __repr__(self):
         return (f"Phase(name={self.name!r}, "

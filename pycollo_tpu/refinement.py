@@ -257,6 +257,17 @@ def run_mesh_refinement_loop(backend, display: bool = True):
             shapes = [f"K={t.K},N={t.N}" for t in it.tables]
             console_out(f"Mesh iteration {it.number} ({'; '.join(shapes)})")
         result = it.solve(warm=warm)
+        if warm is not None and not result.converged:
+            # A diverging warm-started solve poisons the refinement loop
+            # (garbage error estimates explode the next mesh); fall back
+            # to a cold start before accepting the iterate.
+            if display:
+                console_out("  warm-started NLP did not converge; "
+                            "retrying cold")
+            cold = it.solve()
+            if cold.converged or (float(cold.ipm_result.kkt_error)
+                                  < float(result.ipm_result.kkt_error)):
+                result = cold
         iterations.append(result)
         solution = Solution(result)
         refinement = solution.refine_mesh()

@@ -456,14 +456,14 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         zl_def = jnp.where(jnp_has_l, mu0 / dl0, 0.0)
         zu_def = jnp.where(jnp_has_u, mu0 / du0, 0.0)
         if zl0 is not None:
-            zl_x = jnp.clip(jnp.asarray(zl0), 1e-8, 1e8)
+            zl_x = jnp.clip(jnp.asarray(zl0), 1e-6, 1e6)
             zl_init = jnp.where(jnp_has_l,
                                 jnp.concatenate([zl_x, zl_def[n:]])
                                 if ns else zl_x, 0.0)
         else:
             zl_init = zl_def
         if zu0 is not None:
-            zu_x = jnp.clip(jnp.asarray(zu0), 1e-8, 1e8)
+            zu_x = jnp.clip(jnp.asarray(zu0), 1e-6, 1e6)
             zu_init = jnp.where(jnp_has_u,
                                 jnp.concatenate([zu_x, zu_def[n:]])
                                 if ns else zu_x, 0.0)
