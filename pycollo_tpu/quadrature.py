@@ -60,17 +60,30 @@ def _legendre_P(k: int):
 
 
 def lobatto_points(n: int) -> np.ndarray:
-    """n Legendre-Gauss-Lobatto points on [-1, 1] (endpoints included)."""
+    """n Legendre-Gauss-Lobatto points on [-1, 1] (endpoints included).
+
+    Uses the native long-double Newton iteration when available (exact to
+    f64 at order 20, where numpy's companion-matrix roots degrade — the
+    reference's stability ceiling, ``pycollo/quadrature.py:5-9``).
+    """
     if n < 2:
         raise ValueError("Lobatto scheme needs at least 2 points.")
     if n == 2:
         return np.array([-1.0, 1.0])
+    from . import native
+    res = native.lgl_nodes_weights(n)
+    if res is not None:
+        return res[0]
     interior = _legendre_P(n - 1).deriv().roots()
     return np.concatenate([[-1.0], np.real(interior), [1.0]])
 
 
 def lobatto_weights(n: int, points: np.ndarray) -> np.ndarray:
     """LGL weights on [-1, 1]: w_j = 2 / (n (n-1) P_{n-1}(x_j)^2)."""
+    from . import native
+    res = native.lgl_nodes_weights(n)
+    if res is not None:
+        return res[1]
     P = _legendre_P(n - 1)
     return 2.0 / (n * (n - 1) * P(points) ** 2)
 
@@ -81,6 +94,10 @@ def radau_collocation_points(m: int) -> np.ndarray:
         raise ValueError("Radau scheme needs at least 1 collocation point.")
     if m == 1:
         return np.array([-1.0])
+    from . import native
+    res = native.lgr_nodes_weights(m)
+    if res is not None:
+        return res[0]
     poly = _legendre_P(m - 1) + _legendre_P(m)
     roots = np.real(poly.roots())
     roots.sort()
@@ -91,6 +108,10 @@ def radau_collocation_points(m: int) -> np.ndarray:
 
 def radau_weights(m: int, points: np.ndarray) -> np.ndarray:
     """Left-Radau weights: w_0 = 2/m^2, w_j = (1-x_j)/(m^2 P_{m-1}(x_j)^2)."""
+    from . import native
+    res = native.lgr_nodes_weights(m)
+    if res is not None:
+        return res[1]
     P = _legendre_P(m - 1)
     w = (1.0 - points) / (m ** 2 * P(points) ** 2)
     w[0] = 2.0 / m ** 2
@@ -109,6 +130,11 @@ def _lagrange_legendre_coefficients(xc: np.ndarray) -> np.ndarray:
 
 def interpolation_matrix(xc: np.ndarray, xq: np.ndarray) -> np.ndarray:
     """L[i, j] = ell_j(xq_i) for the Lagrange basis on nodes ``xc``."""
+    from . import native
+    L = native.barycentric_interp_matrix(np.asarray(xc, dtype=float),
+                                         np.asarray(xq, dtype=float))
+    if L is not None:
+        return L
     C = _lagrange_legendre_coefficients(np.asarray(xc, dtype=float))
     Vq = npleg.legvander(np.asarray(xq, dtype=float), len(xc) - 1)
     return Vq @ C

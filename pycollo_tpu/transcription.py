@@ -301,13 +301,22 @@ class MeshIteration:
         self.layout = build_layout(phase_dims, tables, self.ns, self.nb,
                                    defect_state_lists)
 
-        self._build_variable_metadata()
-        self._build_constraint_metadata()
-        self._build_guess_vector()
-        self._build_nlp_functions()
-        self._build_scaling()
+        from .profiling import Profiler
+        self.profiler = Profiler()
+        with self.profiler.span("variable metadata"):
+            self._build_variable_metadata()
+        with self.profiler.span("constraint metadata"):
+            self._build_constraint_metadata()
+        with self.profiler.span("guess interpolation"):
+            self._build_guess_vector()
+        with self.profiler.span("NLP function build"):
+            self._build_nlp_functions()
+        with self.profiler.span("scaling"):
+            self._build_scaling()
         self._solver = None
         self._solve_fn = None
+        if self.settings.check_nlp_functions:
+            self.dump_nlp_check_values()
 
     # -- variable metadata ---------------------------------------------
     def _build_variable_metadata(self):
@@ -868,10 +877,37 @@ class MeshIteration:
                                       jnp.asarray(warm["mu"]))
         res.x.block_until_ready()
         solve_time = time.perf_counter() - t0
+        self.profiler.add("NLP solve", solve_time)
         x_full = np.asarray(self.assemble_full(res.x,
                                                self._jnp.asarray(theta)))
         return IterationResult(iteration=self, ipm_result=res,
                                x_full=x_full, solve_time=solve_time)
+
+    def dump_nlp_check_values(self, path: Optional[str] = None):
+        """Dump NLP function values at the guess to JSON.
+
+        Parity with the reference's ``check_nlp_functions`` debug dump
+        (``pycollo/iteration.py:1210-1239``, ``pycollo/settings.py:360-365``).
+        """
+        import json
+
+        import jax
+        jnp = self._jnp
+        xs0 = jnp.asarray(self.xs_guess)
+        theta0 = jnp.asarray(self.theta_default)
+        data = {
+            "x_scaled_guess": np.asarray(xs0).tolist(),
+            "J_scaled": float(self.f_scaled(xs0, theta0)),
+            "g_scaled": np.asarray(
+                jax.grad(self.f_scaled)(xs0, theta0)).tolist(),
+            "c_scaled": np.asarray(self.c_scaled(xs0, theta0)).tolist(),
+            "constraint_scales_W": self.W_c.tolist(),
+            "objective_scale_w": float(self.w),
+        }
+        path = path or f"nlp_check_values_iter{self.number}.json"
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2)
+        return path
 
 
 @dataclass
