@@ -44,6 +44,11 @@ class IPMOptions:
     max_iter: int = 200
     mu_init: float = 1e-1
     mu_min: float = 1e-11
+    #: barrier update strategy: "adaptive" follows IPOPT's LOQO-style
+    #: centrality rule (the reference's explicit IPOPT override,
+    #: ``pycollo/backend.py:1707``); "monotone" is the Fiacco-McCormick
+    #: staircase.
+    mu_strategy: str = "adaptive"
     #: barrier decrease: mu <- max(tol/10, min(kappa_mu*mu, mu^theta_mu))
     kappa_mu: float = 0.2
     theta_mu: float = 1.5
@@ -155,6 +160,9 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     J_s = np.zeros((m, ns))
     J_s[ineq_idx, np.arange(ns)] = -1.0
 
+    from .linalg import make_spd_solver
+    spd_factor, spd_solve, spd_diag = make_spd_solver(n + ns)
+
     derivatives = derivatives or {}
     grad_f = derivatives.get("grad_f") or jax.grad(f_fn)
     jac_c = derivatives.get("jac_c") or (
@@ -264,21 +272,25 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
 
         def attempt(dw):
             K = W0 + JtJ / dc + dw * eye_nv
-            L = jnp.linalg.cholesky(K)
+            factors = spd_factor(K)
             rhs1 = -(rd + J.T @ (rg / dc))
-            dv = jax.scipy.linalg.cho_solve((L, True), rhs1)
+            dv = spd_solve(factors, rhs1)
             dlam = (J @ dv + rg) / dc
             # One round of iterative refinement on the *unregularized* KKT
             # residual cleans up the 1/dc amplification of roundoff.
             res1 = -rd - (W0 @ dv + dw * dv + J.T @ dlam)
             res2 = -rg - (J @ dv - dc * dlam)
-            ev = jax.scipy.linalg.cho_solve((L, True),
-                                            res1 + J.T @ (res2 / dc))
+            ev = spd_solve(factors, res1 + J.T @ (res2 / dc))
             dv = dv + ev
             dlam = dlam + (J @ ev - res2) / dc
+            # Failure detection: NaNs (XLA path) or clamped/blown-up
+            # pivots (blocked path) both mark an indefinite K.
+            diag = spd_diag(factors)
             ok = ~(jnp.any(jnp.isnan(dv)) | jnp.any(jnp.isinf(dv))
-                   | jnp.any(jnp.isnan(dlam)))
-            return dv, dlam, ok, L
+                   | jnp.any(jnp.isnan(dlam))
+                   | jnp.any(~jnp.isfinite(diag))
+                   | jnp.any(diag < 1e-100))
+            return dv, dlam, ok, factors
 
         def esc_cond(carry):
             dw, _, _, ok, k, _ = carry
@@ -291,14 +303,14 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                                             0.3 * dw_last),
                                 dw * opt.delta_w_up)
             dw_next = jnp.minimum(dw_next, opt.delta_w_max)
-            dv, dlam, ok, L = attempt(dw_next)
-            return (dw_next, dv, dlam, ok, k + 1, L)
+            dv, dlam, ok, factors = attempt(dw_next)
+            return (dw_next, dv, dlam, ok, k + 1, factors)
 
-        dv0, dlam0, ok0, L0 = attempt(jnp.asarray(0.0, v.dtype))
-        dw_used, dv, dlam, ok, _, L = jax.lax.while_loop(
+        dv0, dlam0, ok0, fac0 = attempt(jnp.asarray(0.0, v.dtype))
+        dw_used, dv, dlam, ok, _, factors = jax.lax.while_loop(
             esc_cond, esc_body,
             (jnp.asarray(0.0, v.dtype), dv0, dlam0, ok0,
-             jnp.asarray(0, jnp.int32), L0))
+             jnp.asarray(0, jnp.int32), fac0))
         dzl = jnp.where(jnp_has_l, mu_dl - zl - sig_l * dv, 0.0)
         dzu = jnp.where(jnp_has_u, mu_du - zu + sig_u * dv, 0.0)
         # Directional derivative of the barrier objective along dv.
@@ -307,8 +319,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         def corrector(rg_soc):
             """Solve the KKT system with rhs (0, rg_soc) using the
             existing factorization (for second-order corrections)."""
-            dv_c = jax.scipy.linalg.cho_solve(
-                (L, True), -(J.T @ (rg_soc / dc)))
+            dv_c = spd_solve(factors, -(J.T @ (rg_soc / dc)))
             dlam_c = (J @ dv_c + rg_soc) / dc
             return dv_c, dlam_c
 
@@ -416,15 +427,34 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                               jnp.maximum(dw_used, opt.delta_w_min),
                               dw_last)
 
-        e_mu = kkt_error(v_n, lam_n, zl_n, zu_n, mu, theta)
         e_0 = kkt_error(v_n, lam_n, zl_n, zu_n, 0.0, theta)
-        advance = e_mu <= opt.kappa_eps * mu
-        mu_n = jnp.where(
-            advance,
-            jnp.maximum(opt.tol / 10.0,
-                        jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
-            mu)
-        mu_n = jnp.maximum(mu_n, opt.mu_min)
+        if opt.mu_strategy == "adaptive":
+            # LOQO-style centrality rule (IPOPT's adaptive mode): mu is a
+            # fraction of the average complementarity, with the fraction
+            # shrinking when the complementarity pairs are well centered.
+            dl_n, du_n = dists(v_n)
+            prods_l = jnp.where(jnp_has_l, dl_n * zl_n, jnp.nan)
+            prods_u = jnp.where(jnp_has_u, du_n * zu_n, jnp.nan)
+            prods = jnp.concatenate([prods_l, prods_u])
+            num = jnp.sum(~jnp.isnan(prods))
+            avg = jnp.nansum(prods) / jnp.maximum(num, 1)
+            min_p = jnp.nanmin(jnp.where(jnp.isnan(prods), jnp.inf, prods))
+            xi = min_p / jnp.maximum(avg, 1e-300)
+            sigma = 0.1 * jnp.minimum(0.05 * (1.0 - xi)
+                                      / jnp.maximum(xi, 1e-8), 2.0) ** 3
+            mu_n = jnp.clip(sigma * avg, opt.mu_min, opt.mu_init)
+            mu_n = jnp.where(num > 0, mu_n, jnp.maximum(
+                opt.tol / 10.0, opt.kappa_mu * mu))
+        else:
+            e_mu = kkt_error(v_n, lam_n, zl_n, zu_n, mu, theta)
+            advance = e_mu <= opt.kappa_eps * mu
+            mu_n = jnp.where(
+                advance,
+                jnp.maximum(opt.tol / 10.0,
+                            jnp.minimum(opt.kappa_mu * mu,
+                                        mu ** opt.theta_mu)),
+                mu)
+            mu_n = jnp.maximum(mu_n, opt.mu_min)
         done_n = e_0 <= opt.tol
         return _State(v_n, lam_n, zl_n, zu_n, mu_n, nu_new, dw_used,
                       dw_last_n, it + 1, e_0, done_n)
