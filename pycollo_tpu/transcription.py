@@ -542,6 +542,8 @@ class MeshIteration:
         the difference between one batched pass and hundreds of
         whole-program AD sweeps.
         """
+        if getattr(self, "_structured_derivs", None) is not None:
+            return self._structured_derivs
         import jax
         import jax.numpy as jnp
         lay = self.layout
@@ -549,8 +551,6 @@ class MeshIteration:
         jtables = self._jtables
         free_idx = jnp.asarray(self.free_idx)
         V_free = jnp.asarray(self.V_full[self.free_idx])
-        jW_c = jnp.asarray(self.W_c)
-        w_obj = self.w
         n_full = lay.n_full
         m_total = lay.m_total
 
@@ -734,7 +734,7 @@ class MeshIteration:
             def ep_val(x_ep):
                 xf = x_full.at[ep_idx].set(x_ep)
                 ep = self.endpoints_of(xf)
-                val = w_obj * program.objective(ep)
+                val = self.w * program.objective(ep)
                 if lay.nb:
                     eta_b = jax.lax.dynamic_slice(
                         eta, (lay.c_endpoint_off,), (lay.nb,))
@@ -746,11 +746,15 @@ class MeshIteration:
             return H
 
         def jac_c_scaled(xs, theta):
+            # self.W_c is read at trace time (scaling is built before the
+            # solver jits these).
+            jW_c = jnp.asarray(self.W_c)
             x_full = self.assemble_full(xs, theta)
             J = jac_full(x_full)
             return (jW_c[:, None] * J[:, free_idx]) * V_free[None, :]
 
         def hess_lag_scaled(xs, lam, theta):
+            jW_c = jnp.asarray(self.W_c)
             x_full = self.assemble_full(xs, theta)
             eta = jW_c * lam
             H = hess_full(x_full, eta)
@@ -759,7 +763,11 @@ class MeshIteration:
 
         self.jac_c_scaled = jac_c_scaled
         self.hess_lag_scaled = hess_lag_scaled
-        return dict(jac_c=jac_c_scaled, hess_lag=hess_lag_scaled)
+        self._jac_full_fn = jac_full
+        self._hess_full_fn = hess_full
+        self._structured_derivs = dict(jac_c=jac_c_scaled,
+                                       hess_lag=hess_lag_scaled)
+        return self._structured_derivs
 
     # -- scaling ---------------------------------------------------------
     def _build_scaling(self):
@@ -771,14 +779,22 @@ class MeshIteration:
         theta0 = jnp.asarray(self.theta_default)
         method = self.settings.scaling_method
 
+        # The objective scale must exist before the structured Hessian
+        # builder captures it; the gradient layer below refines it.
+        self.w = 1.0
         if method == "none":
-            self.w = 1.0
             self.W_c = np.ones(lay.m_total)
         else:
             # Constraint scales: defect rows 1/V_y, integral rows 1/V_q,
-            # path/endpoint rows 1/(row norms of G at the guess).
+            # path/endpoint rows 1/(row norms of G at the guess).  G comes
+            # from the structured per-node assembly (orders of magnitude
+            # cheaper to compile than whole-program jacrev on TPU).
             W_c = np.ones(lay.m_total)
-            G = np.asarray(jax.jacrev(self.c_unscaled)(xs0, theta0))
+            self._build_structured_derivatives()
+            V_free = self.V_full[self.free_idx]
+            x_full0 = jnp.asarray(self.x_full_guess)
+            G = np.asarray(jax.jit(self._jac_full_fn)(x_full0))
+            G = G[:, self.free_idx] * V_free[None, :]
             G_norm = np.sqrt((G ** 2).sum(axis=1))
             for pl, pb in zip(lay.phases, self.compiled.phase_bounds):
                 Vy = self.V_full[pl.y_slice].reshape(pl.ny, pl.N)[:, 0]
