@@ -48,13 +48,21 @@ PATTERSON_RAO = "patterson-rao"
 
 
 class PattersonRaoMeshRefinement:
-    """Mesh error estimation + next-mesh proposal for one solution."""
+    """Mesh error estimation + next-mesh proposal for one solution.
 
-    def __init__(self, solution: Solution):
+    ``prev_max_errors`` (per-phase scalars from the previous mesh
+    iteration) enables a stagnation heuristic beyond the reference: when a
+    phase's error stopped improving (non-smooth solution features such as
+    bang-bang control switches, where raising the polynomial order cannot
+    help), the offending sections are subdivided instead of order-bumped.
+    """
+
+    def __init__(self, solution: Solution, prev_max_errors=None):
         self.sol = solution
         self.iteration = solution.iteration
         self.settings = self.iteration.settings
         self.backend = solution.backend
+        self.prev_max_errors = prev_max_errors
         self.absolute_mesh_errors: List[np.ndarray] = []
         self.relative_mesh_errors: List[np.ndarray] = []
         self.maximum_relative_mesh_errors: List[np.ndarray] = []
@@ -142,6 +150,13 @@ class PattersonRaoMeshRefinement:
         predicted[neg] = (np.ceil(P_q[neg] * reduction_tol[neg])
                           + N_k[neg]).astype(int)
         subdivide = predicted >= n_max
+        # Stagnation heuristic: error not improving -> the feature is not
+        # resolvable by order increase (e.g. a control discontinuity);
+        # split the offending sections instead.
+        if (self.prev_max_errors is not None
+                and self.prev_max_errors[i] is not None
+                and max_errs.max() > 0.5 * self.prev_max_errors[i]):
+            subdivide = subdivide | (max_errs > mesh_tol)
 
         new_sizes = []
         new_nodes = []
@@ -252,6 +267,7 @@ def run_mesh_refinement_loop(backend, display: bool = True):
     tolerance_met = False
     it = backend.mesh_iterations[-1]
     warm = None
+    prev_max_errors = None
     for loop_idx in range(settings.max_mesh_iterations):
         if display:
             shapes = [f"K={t.K},N={t.N}" for t in it.tables]
@@ -270,8 +286,10 @@ def run_mesh_refinement_loop(backend, display: bool = True):
                 result = cold
         iterations.append(result)
         solution = Solution(result)
-        refinement = solution.refine_mesh()
+        refinement = solution.refine_mesh(prev_max_errors=prev_max_errors)
         max_err = refinement.max_relative_mesh_error
+        prev_max_errors = [float(m.max()) if m.size else None
+                           for m in refinement.maximum_relative_mesh_errors]
         mesh_errors.append(max_err)
         if display:
             console_out(

@@ -161,11 +161,12 @@ class Solution:
         return y_q, u_q
 
     # -- mesh refinement dispatch ---------------------------------------
-    def refine_mesh(self):
+    def refine_mesh(self, prev_max_errors=None):
         """Estimate mesh error and propose the next mesh
         (``solution_abc.py:147-151``)."""
         from .refinement import PattersonRaoMeshRefinement
-        return PattersonRaoMeshRefinement(self)
+        return PattersonRaoMeshRefinement(self,
+                                          prev_max_errors=prev_max_errors)
 
     # -- plotting --------------------------------------------------------
     def plot(self, **kwargs):

@@ -292,25 +292,32 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                    | jnp.any(diag < 1e-100))
             return dv, dlam, ok, factors
 
+        # Inertia-correction escalation as a do-while with a single copy
+        # of the factorization program (keeps the compiled program small;
+        # the first trip runs with dw = 0).
         def esc_cond(carry):
             dw, _, _, ok, k, _ = carry
             return (~ok) & (k < 30)
 
         def esc_body(carry):
-            dw, _, _, _, k, _ = carry
-            dw_next = jnp.where(dw == 0.0,
-                                jnp.maximum(opt.delta_w_min,
-                                            0.3 * dw_last),
-                                dw * opt.delta_w_up)
+            dw, dv, dlam, ok, k, factors = carry
+            dw_next = jnp.where(
+                k == 0, jnp.asarray(0.0, v.dtype),
+                jnp.where(dw == 0.0,
+                          jnp.maximum(opt.delta_w_min, 0.3 * dw_last),
+                          dw * opt.delta_w_up))
             dw_next = jnp.minimum(dw_next, opt.delta_w_max)
             dv, dlam, ok, factors = attempt(dw_next)
             return (dw_next, dv, dlam, ok, k + 1, factors)
 
-        dv0, dlam0, ok0, fac0 = attempt(jnp.asarray(0.0, v.dtype))
+        zero_factors = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda: attempt(jnp.asarray(0.0, v.dtype))[3]))
+        init = (jnp.asarray(0.0, v.dtype), jnp.zeros(nv), jnp.zeros(m),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                zero_factors)
         dw_used, dv, dlam, ok, _, factors = jax.lax.while_loop(
-            esc_cond, esc_body,
-            (jnp.asarray(0.0, v.dtype), dv0, dlam0, ok0,
-             jnp.asarray(0, jnp.int32), fac0))
+            esc_cond, esc_body, init)
         dzl = jnp.where(jnp_has_l, mu_dl - zl - sig_l * dv, 0.0)
         dzu = jnp.where(jnp_has_u, mu_du - zu + sig_u * dv, 0.0)
         # Directional derivative of the barrier objective along dv.

@@ -82,6 +82,16 @@ class BlockedCholesky:
         self.n_pad = self.nb * block
 
     def factor(self, A):
+        """Factor via a ``fori_loop`` over block columns.
+
+        Each step extracts the current diagonal block with a dynamic
+        slice, factors/inverts it with the recursive-halving kernels, and
+        applies the panel/trailing updates *full-width under a column
+        mask* — a constant-size program (compile time independent of the
+        number of blocks) at the cost of a small constant-factor FLOP
+        overhead, the right trade on TPU where the while-loop body is
+        compiled once.
+        """
         n, b, nb, n_pad = self.n, self.block, self.nb, self.n_pad
         batch = A.shape[:-2]
         if n_pad != n:
@@ -91,56 +101,94 @@ class BlockedCholesky:
             pad_idx = jnp.arange(n, n_pad)
             Ap = Ap.at[..., pad_idx, pad_idx].set(1.0)
             A = Ap
-        L = jnp.zeros_like(A)
-        Dinv = []
-        for i in range(nb):
+        col_idx = jnp.arange(n_pad)
+
+        def body(i, carry):
+            A, L, Dinv = carry
             s = i * b
-            e = s + b
-            D = A[..., s:e, s:e]
+            zeros = (0,) * len(batch)
+            D = jax.lax.dynamic_slice(A, zeros + (s, s), batch + (b, b))
             Ld = _unblocked_cholesky(D)
             Ld_inv = _tri_lower_inverse(Ld)
-            L = L.at[..., s:e, s:e].set(Ld)
-            Dinv.append(Ld_inv)
-            if e < n_pad:
-                panel = jnp.einsum("...ij,...kj->...ik",
-                                   A[..., e:, s:e], Ld_inv)
-                L = L.at[..., e:, s:e].set(panel)
-                A = A.at[..., e:, e:].add(
-                    -jnp.einsum("...ij,...kj->...ik", panel, panel))
-        return L, jnp.stack(Dinv, axis=-3)
+            Dinv = jax.lax.dynamic_update_slice(
+                Dinv, Ld_inv[..., None, :, :], zeros + (i, 0, 0))
+            # Full-height panel P = A[:, s:s+b] @ Ld_inv^T, masked to the
+            # rows strictly below the block (above-block rows zeroed).
+            Acols = jax.lax.dynamic_slice(A, zeros + (0, s),
+                                          batch + (n_pad, b))
+            panel = jnp.einsum("...ij,...kj->...ik", Acols, Ld_inv)
+            below = (col_idx >= s + b)[:, None]
+            panel = jnp.where(below, panel, 0.0)
+            # Store the panel and the diagonal block into L's columns.
+            pad_block = jnp.zeros(batch + (n_pad, b), dtype=A.dtype)
+            Ld_full = jax.lax.dynamic_update_slice(pad_block, Ld,
+                                                   zeros + (s, 0))
+            Lcols = panel + Ld_full
+            L = jax.lax.dynamic_update_slice(L, Lcols, zeros + (0, s))
+            # Trailing update (full-size, panel is masked so only the
+            # below-block submatrix changes).
+            A = A - jnp.einsum("...ij,...kj->...ik", panel, panel)
+            return (A, L, Dinv)
+
+        L0 = jnp.zeros_like(A)
+        Dinv0 = jnp.zeros(batch + (nb, b, b), dtype=A.dtype)
+        _, L, Dinv = jax.lax.fori_loop(0, nb, body, (A, L0, Dinv0))
+        return L, Dinv
 
     def solve(self, factors, rhs):
         """Solve A x = rhs given ``factor`` output; rhs (..., n) or
-        (..., n, k)."""
+        (..., n, k).  Block substitution via ``fori_loop`` with masked
+        full-width matvecs (constant program size)."""
         L, Dinv = factors
         n, b, nb, n_pad = self.n, self.block, self.nb, self.n_pad
+        batch = L.shape[:-2]
+        nb_dims = len(batch)
         vec = rhs.ndim == L.ndim - 1
         if vec:
             rhs = rhs[..., None]
+        k = rhs.shape[-1]
         if n_pad != n:
-            pad = jnp.zeros(rhs.shape[:-2] + (n_pad - n, rhs.shape[-1]),
+            pad = jnp.zeros(rhs.shape[:-2] + (n_pad - n, k),
                             dtype=rhs.dtype)
             rhs = jnp.concatenate([rhs, pad], axis=-2)
-        # Forward substitution L y = rhs, block row at a time.
-        y = jnp.zeros_like(rhs)
-        for i in range(nb):
+
+        def dslice(M, s, rows, cols):
+            start = (0,) * nb_dims + s
+            return jax.lax.dynamic_slice(M, start, batch + (rows, cols))
+
+        def dupdate(M, U, s):
+            return jax.lax.dynamic_update_slice(M, U, (0,) * nb_dims + s)
+
+        # Forward substitution L y = rhs.
+        def fwd(i, y):
             s = i * b
-            e = s + b
-            acc = rhs[..., s:e, :]
-            if i:
-                acc = acc - L[..., s:e, :s] @ y[..., :s, :]
-            y = y.at[..., s:e, :].set(Dinv[..., i, :, :] @ acc)
+            Lrows = dslice(L, (s, 0), b, n_pad)     # (b, n_pad)
+            acc = dslice(rhs, (s, 0), b, k) - Lrows @ y
+            Di = jnp.squeeze(jax.lax.dynamic_slice(
+                Dinv, (0,) * nb_dims + (i, 0, 0),
+                batch + (1, b, b)), axis=-3)
+            # y rows for this block were zero, so Lrows @ y excluded the
+            # diagonal block contribution already.
+            return dupdate(y, Di @ acc, (s, 0))
+
+        y = jax.lax.fori_loop(0, nb, fwd, jnp.zeros_like(rhs))
+
         # Backward substitution L^T x = y.
-        x = jnp.zeros_like(y)
-        for i in reversed(range(nb)):
+        def bwd(j, x):
+            i = nb - 1 - j
             s = i * b
-            e = s + b
-            acc = y[..., s:e, :]
-            if e < n_pad:
-                acc = acc - jnp.swapaxes(L[..., e:, s:e], -1, -2) \
-                    @ x[..., e:, :]
-            x = x.at[..., s:e, :].set(
-                jnp.swapaxes(Dinv[..., i, :, :], -1, -2) @ acc)
+            Lcols = dslice(L, (0, s), n_pad, b)     # (n_pad, b)
+            acc = dslice(y, (s, 0), b, k) \
+                - jnp.swapaxes(Lcols, -1, -2) @ x
+            Di = jnp.squeeze(jax.lax.dynamic_slice(
+                Dinv, (0,) * nb_dims + (i, 0, 0),
+                batch + (1, b, b)), axis=-3)
+            # x rows of this block are zero so Lcols^T x excludes the
+            # diagonal; but Lcols includes the diagonal block rows whose
+            # x entries are zero -> no correction needed.
+            return dupdate(x, jnp.swapaxes(Di, -1, -2) @ acc, (s, 0))
+
+        x = jax.lax.fori_loop(0, nb, bwd, jnp.zeros_like(y))
         x = x[..., :n, :]
         return x[..., 0] if vec else x
 
