@@ -209,15 +209,11 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         return f_fn(x, theta) + barrier(v, mu) \
             + nu * jnp.sum(jnp.abs(g_fn(v, theta)))
 
-    def kkt_error(v, lam, zl, zu, mu, theta):
-        """Scaled KKT error (IPOPT eq. 5): max of dual/primal/compl parts."""
-        x = v[:n]
-        gf = grad_f(x, theta)
-        Jc = jac_c(x, theta)
+    def kkt_error_pre(gf, Jc, rg, v, lam, zl, zu, mu):
+        """Scaled KKT error (IPOPT eq. 5) from precomputed derivatives."""
         rd_x = gf + Jc.T @ lam
         rd_s = -lam[ineq_idx] if ns else jnp.zeros(0)
         rd = jnp.concatenate([rd_x, rd_s]) - zl + zu
-        rg = g_fn(v, theta)
         dl, du = dists(v)
         compl_l = jnp.where(jnp_has_l, dl * zl - mu, 0.0)
         compl_u = jnp.where(jnp_has_u, du * zu - mu, 0.0)
@@ -233,7 +229,13 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             jnp.max(jnp.abs(compl_u)) / sc if nv else 0.0))
         return e
 
-    def compute_step(v, lam, zl, zu, mu, dw_last, theta):
+    def kkt_error(v, lam, zl, zu, mu, theta):
+        """KKT error with fresh derivative evaluation (debug/result use)."""
+        x = v[:n]
+        return kkt_error_pre(grad_f(x, theta), jac_c(x, theta),
+                             g_fn(v, theta), v, lam, zl, zu, mu)
+
+    def compute_step(v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg):
         """Condensed-space Newton step via two Cholesky factorizations.
 
         Runs the IPOPT-style inertia-correction loop *inside* one call: a
@@ -243,8 +245,6 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         this is the TPU-native replacement for MUMPS' inertia detection).
         """
         x = v[:n]
-        gf = grad_f(x, theta)
-        Jc = jac_c(x, theta)
         H = hess_lag(x, lam, theta)
         dl, du = dists(v)
         sig_l = jnp.where(jnp_has_l, zl / dl, 0.0)
@@ -259,9 +259,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         rd_x = gf + Jc.T @ lam
         rd_s = -lam[ineq_idx] if ns else jnp.zeros(0)
         rd = jnp.concatenate([rd_x, rd_s]) - mu_dl + mu_du
-        rg = g_fn(v, theta)
         eye_nv = jnp.eye(nv)
-        eye_m = jnp.eye(m)
 
         # Dual regularization: relaxes equality rows so the condensed matrix
         # K = W + J^T J / dc is positive definite under SOSC (MadNLP-style
@@ -351,7 +349,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         return jnp.minimum(1.0, jnp.minimum(jnp.min(b_l), jnp.min(b_u)))
 
     def line_search(v, dv, dlam, mu, nu, alpha_max, gf_dv, corrector,
-                    theta):
+                    theta, g0, f0):
         """Armijo backtracking as one batched trial sweep, plus a
         second-order correction (SOC) candidate at the full step.
 
@@ -361,8 +359,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         transcriptions (the Maratos effect) the same way IPOPT does.
         Returns the *effective* primal and multiplier displacements.
         """
-        phi0 = merit(v, mu, nu, theta)
-        g0 = g_fn(v, theta)
+        phi0 = f0 + barrier(v, mu) + nu * jnp.sum(jnp.abs(g0))
         dphi = gf_dv - nu * jnp.sum(jnp.abs(g0))
         dphi = jnp.minimum(dphi, 0.0)
         alphas = alpha_max * (0.5 ** jnp.arange(opt.max_ls))
@@ -392,17 +389,26 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         alpha_rep = jnp.where(use_soc, beta * alpha_max, alpha_plain)
         return dv_eff, dlam_eff, alpha_rep, any_ok | soc_ok
 
-    def update_nu(nu, v, gf_dv, theta):
+    def update_nu(nu, g0, gf_dv):
         """Merit penalty update (IPOPT eq. 3.5 with rho = 0.1)."""
-        g1 = jnp.sum(jnp.abs(g_fn(v, theta)))
+        g1 = jnp.sum(jnp.abs(g0))
         nu_trial = gf_dv / jnp.maximum(0.9 * g1, 1e-12) + 1.0
         return jnp.clip(jnp.maximum(nu, nu_trial), 0.0, 1e10)
 
     def body(state: _State, theta):
         v, lam, zl, zu, mu, nu, dw, dw_last, it, _, done = state
+        # One derivative evaluation per iterate, shared by the KKT error,
+        # the Newton step, and the line search.
+        x = v[:n]
+        gf = grad_f(x, theta)
+        Jc = jac_c(x, theta)
+        rg = g_fn(v, theta)
+        f0 = f_fn(x, theta)
+        e_0 = kkt_error_pre(gf, Jc, rg, v, lam, zl, zu, 0.0)
+        done_now = e_0 <= opt.tol
         dv, dlam, dzl, dzu, gf_dv, dw_used, ok, corrector = compute_step(
-            v, lam, zl, zu, mu, dw_last, theta)
-        bad = ~ok
+            v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg)
+        bad = (~ok) | done_now
         # A totally failed factorization (even at delta_w_max) must not
         # contaminate the state: zero the direction (0 * NaN = NaN).
         dv = jnp.where(bad, 0.0, dv)
@@ -410,11 +416,12 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         dzl = jnp.where(bad, 0.0, dzl)
         dzu = jnp.where(bad, 0.0, dzu)
         gf_dv = jnp.where(bad, 0.0, gf_dv)
-        nu_new = update_nu(nu, v, gf_dv, theta)
+        nu_new = update_nu(nu, rg, gf_dv)
         alpha_max = ftb_primal(v, dv, mu)
         alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
         dv_eff, dlam_eff, alpha, ls_ok = line_search(
-            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta)
+            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta,
+            rg, f0)
         dv_eff = jnp.where(bad, 0.0, dv_eff)
         dlam_eff = jnp.where(bad, 0.0, dlam_eff)
         alpha_dual = jnp.where(bad, 0.0, alpha_dual)
@@ -434,7 +441,6 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                               jnp.maximum(dw_used, opt.delta_w_min),
                               dw_last)
 
-        e_0 = kkt_error(v_n, lam_n, zl_n, zu_n, 0.0, theta)
         if opt.mu_strategy == "adaptive":
             # LOQO-style centrality rule (IPOPT's adaptive mode): mu is a
             # fraction of the average complementarity, with the fraction
@@ -462,9 +468,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                                         mu ** opt.theta_mu)),
                 mu)
             mu_n = jnp.maximum(mu_n, opt.mu_min)
-        done_n = e_0 <= opt.tol
         return _State(v_n, lam_n, zl_n, zu_n, mu_n, nu_new, dw_used,
-                      dw_last_n, it + 1, e_0, done_n)
+                      dw_last_n, it + 1, e_0, done_now)
 
     def init_state(x0, theta, lam0=None, zl0=None, zu0=None, mu0=None):
         """Initial IPM state; optionally warm-started with multipliers.
@@ -539,16 +544,19 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     def debug_step(state: _State, theta):
         """One body step with diagnostics (host-side debugging only)."""
         v, lam, zl, zu, mu, nu, dw, dw_last, it, _, done = state
-        dv, dlam, dzl, dzu, gf_dv, dw_used, ok, corrector = compute_step(
-            v, lam, zl, zu, mu, dw_last, theta)
-        nu_new = update_nu(nu, v, gf_dv, theta)
-        alpha_max = ftb_primal(v, dv, mu)
-        alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
-        _, _, alpha, ls_ok = line_search(
-            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta)
         x = v[:n]
         gf = grad_f(x, theta)
         Jc = jac_c(x, theta)
+        rg = g_fn(v, theta)
+        f0 = f_fn(x, theta)
+        dv, dlam, dzl, dzu, gf_dv, dw_used, ok, corrector = compute_step(
+            v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg)
+        nu_new = update_nu(nu, rg, gf_dv)
+        alpha_max = ftb_primal(v, dv, mu)
+        alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
+        _, _, alpha, ls_ok = line_search(
+            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta,
+            rg, f0)
         rd = jnp.concatenate([gf + Jc.T @ lam,
                               -lam[ineq_idx] if ns else jnp.zeros(0)]) \
             - zl + zu

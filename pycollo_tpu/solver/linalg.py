@@ -73,15 +73,93 @@ class BlockedCholesky:
     ``factor(A)`` returns (L, Dinv) where ``L`` is the lower factor and
     ``Dinv`` stacks the inverses of its diagonal blocks; ``solve`` then
     needs only batched matmuls (no triangular_solve primitive at all).
+
+    Two spellings of the same algorithm: ``unroll=True`` uses static
+    Python loops over block columns (static slices — fastest under
+    ``vmap``, larger program), ``unroll=False`` uses ``fori_loop`` with
+    dynamic slices (compact program, slower when vmapped).
     """
 
-    def __init__(self, n: int, block: int = 32):
+    def __init__(self, n: int, block: int = 32, unroll: bool = True):
         self.n = n
         self.block = block
         self.nb = -(-n // block)
         self.n_pad = self.nb * block
+        self.unroll = unroll
+
+    def _pad(self, A):
+        n, n_pad = self.n, self.n_pad
+        if n_pad == n:
+            return A
+        batch = A.shape[:-2]
+        Ap = jnp.zeros(batch + (n_pad, n_pad), dtype=A.dtype)
+        Ap = Ap.at[..., :n, :n].set(A)
+        pad_idx = jnp.arange(n, n_pad)
+        return Ap.at[..., pad_idx, pad_idx].set(1.0)
+
+    def factor_unrolled(self, A):
+        """Static-slice spelling (``unroll=True`` path)."""
+        b, nb, n_pad = self.block, self.nb, self.n_pad
+        A = self._pad(A)
+        L = jnp.zeros_like(A)
+        Dinv = []
+        for i in range(nb):
+            s = i * b
+            e = s + b
+            Ld = _unblocked_cholesky(A[..., s:e, s:e])
+            Ld_inv = _tri_lower_inverse(Ld)
+            L = L.at[..., s:e, s:e].set(Ld)
+            Dinv.append(Ld_inv)
+            if e < n_pad:
+                panel = jnp.einsum("...ij,...kj->...ik",
+                                   A[..., e:, s:e], Ld_inv)
+                L = L.at[..., e:, s:e].set(panel)
+                A = A.at[..., e:, e:].add(
+                    -jnp.einsum("...ij,...kj->...ik", panel, panel))
+        return L, jnp.stack(Dinv, axis=-3)
+
+    def solve_unrolled(self, factors, rhs):
+        L, Dinv = factors
+        n, b, nb, n_pad = self.n, self.block, self.nb, self.n_pad
+        vec = rhs.ndim == L.ndim - 1
+        if vec:
+            rhs = rhs[..., None]
+        if n_pad != n:
+            pad = jnp.zeros(rhs.shape[:-2] + (n_pad - n, rhs.shape[-1]),
+                            dtype=rhs.dtype)
+            rhs = jnp.concatenate([rhs, pad], axis=-2)
+        y = jnp.zeros_like(rhs)
+        for i in range(nb):
+            s = i * b
+            e = s + b
+            acc = rhs[..., s:e, :]
+            if i:
+                acc = acc - L[..., s:e, :s] @ y[..., :s, :]
+            y = y.at[..., s:e, :].set(Dinv[..., i, :, :] @ acc)
+        x = jnp.zeros_like(y)
+        for i in reversed(range(nb)):
+            s = i * b
+            e = s + b
+            acc = y[..., s:e, :]
+            if e < n_pad:
+                acc = acc - jnp.swapaxes(L[..., e:, s:e], -1, -2) \
+                    @ x[..., e:, :]
+            x = x.at[..., s:e, :].set(
+                jnp.swapaxes(Dinv[..., i, :, :], -1, -2) @ acc)
+        x = x[..., :n, :]
+        return x[..., 0] if vec else x
 
     def factor(self, A):
+        if self.unroll:
+            return self.factor_unrolled(A)
+        return self.factor_fori(A)
+
+    def solve(self, factors, rhs):
+        if self.unroll:
+            return self.solve_unrolled(factors, rhs)
+        return self.solve_fori(factors, rhs)
+
+    def factor_fori(self, A):
         """Factor via a ``fori_loop`` over block columns.
 
         Each step extracts the current diagonal block with a dynamic
@@ -135,7 +213,7 @@ class BlockedCholesky:
         _, L, Dinv = jax.lax.fori_loop(0, nb, body, (A, L0, Dinv0))
         return L, Dinv
 
-    def solve(self, factors, rhs):
+    def solve_fori(self, factors, rhs):
         """Solve A x = rhs given ``factor`` output; rhs (..., n) or
         (..., n, k).  Block substitution via ``fori_loop`` with masked
         full-width matvecs (constant program size)."""
