@@ -172,8 +172,23 @@ class PattersonRaoMeshRefinement:
 
     def _guess_on_mesh(self, i: int,
                        new_t: PhaseMeshTables) -> ProcessedPhaseGuess:
+        """Linear re-interpolation of the previous solution as the next
+        guess (parity with ``pycollo/iteration.py:86-194``, which uses
+        ``scipy.interpolate.interp1d`` with default linear kind).
+
+        Deliberately NOT the high-order collocation-polynomial extension
+        used for error estimation: Lagrange interpolation of near-bang-
+        bang controls overshoots (Runge), seeding the refined NLP with
+        oscillatory iterates near saddle points — observed as a hard
+        stall on the shuttle-reentry bank-angle control.
+        """
         pd = self.sol.phase_data[i]
-        y_new, u_new = self.sol.interpolate_phase(i, new_t.tau)
+        t_old = self.sol.iteration.tables[i]
+        y_new = np.vstack([np.interp(new_t.tau, t_old.tau, row)
+                           for row in pd.y])
+        u_new = np.vstack([np.interp(new_t.tau, t_old.tau, row)
+                           for row in pd.u]) if pd.u.shape[0] else \
+            np.zeros((0, len(new_t.tau)))
         return ProcessedPhaseGuess(tau=new_t.tau, y=y_new, u=u_new,
                                    q=pd.q, t0=pd.t0, tF=pd.tF)
 

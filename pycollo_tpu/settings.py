@@ -86,6 +86,12 @@ class Settings:
         #: smallest barrier parameter (matches the reference's IPOPT
         #: override ``mu_min=1e-11``, ``pycollo/backend.py:1708``)
         self.ipm_mu_min = 1e-11
+        #: globalization: "filter" (Wächter–Biegler, what IPOPT runs) or
+        #: "merit" (l1 penalty Armijo)
+        self.ipm_line_search = "filter"
+        #: inertia correction: "speculative" (batched multi-level
+        #: factorization) or "loop" (IPOPT-style sequential escalation)
+        self.ipm_inertia = "speculative"
         # Mesh refinement
         self._mesh_refinement_algorithm = MESH_REFINEMENT_ALGORITHMS.default
         self._mesh_tolerance = 1e-7

@@ -62,8 +62,26 @@ class Solution:
         program = self.backend.program
         for i, (pl, t) in enumerate(zip(lay.phases, it.tables)):
             y = x_full[pl.y_slice].reshape(pl.ny, pl.N)
-            u = x_full[pl.u_slice].reshape(pl.nu, pl.N)
+            u = x_full[pl.u_slice].reshape(pl.nu, pl.N).copy()
             q = x_full[pl.q_slice]
+            if pl.nu and t.method == "radau":
+                # The final mesh node of a Radau phase is not a
+                # collocation point, so its control is a dangling NLP
+                # variable (only bounded, never constrained) — replace it
+                # with the extrapolation of the last section's control
+                # polynomial (analogue of the reference's Radau handling,
+                # ``pycollo/solution/solution_abc.py:104-142``).
+                from . import quadrature as quad
+                k = t.K - 1
+                n_k = int(t.section_nodes[k])
+                start = int(t.section_starts[k])
+                sch = quad.scheme(t.method, n_k)
+                ncol = sch.num_collocation
+                nodes = t.tau[start:start + n_k]
+                lo, hi = nodes[0], t.tau[-1]
+                xc = 2.0 * (nodes - lo) / (hi - lo) - 1.0
+                Lq = quad.interpolation_matrix(xc[:ncol], np.array([1.0]))
+                u[:, -1] = (Lq @ u[:, start:start + ncol].T)[0]
             t0 = float(x_full[pl.t_off])
             tF = float(x_full[pl.t_off + 1])
             stretch = 0.5 * (tF - t0)

@@ -59,6 +59,20 @@ class IPMOptions:
     #: batched trial-point sweep — TPU-friendly, no sequential loop)
     eta_armijo: float = 1e-4
     max_ls: int = 12
+    #: globalization: "filter" implements the Wächter–Biegler filter line
+    #: search (what IPOPT — the reference's solver — actually runs; accepts
+    #: steps improving EITHER feasibility OR the barrier objective, far
+    #: more permissive near saddles than a penalty merit function);
+    #: "merit" is the l1-merit Armijo fallback.
+    line_search: str = "filter"
+    #: filter constants (IPOPT eq. 18-20 defaults)
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-8
+    delta_sw: float = 1.0
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    #: maximum retained filter entries (oldest overwritten beyond this)
+    filter_size: int = 64
     #: primal (dw) and dual (dc) regularization management
     delta_w_init: float = 0.0
     delta_w_min: float = 1e-20
@@ -67,12 +81,43 @@ class IPMOptions:
     delta_w_down: float = 3.0
     delta_w_max: float = 1e10
     delta_c: float = 1e-8
+    #: inertia correction scheme: "speculative" factors the condensed
+    #: matrix at several regularization levels in ONE batched call and
+    #: selects the first positive-definite level per instance (no
+    #: sequential retry loop — under vmap a do-while retries the WHOLE
+    #: batch whenever any one instance needs escalation, which measured
+    #: ~60% of the iteration cost); "loop" is the IPOPT-style do-while.
+    inertia: str = "speculative"
+    #: speculative regularization levels as multipliers of the heuristic
+    #: start value 0.3*dw_last (level 0 is always dw = 0); instances not
+    #: positive definite at any level fall back to an escalation loop
+    #: that starts above the top level — with an all-satisfied batch that
+    #: loop's condition is false at entry and it costs nothing
+    spec_levels: tuple = (1.0, 8.0, 64.0)
     #: bound-multiplier safeguard (IPOPT's kappa_Sigma)
     kappa_sigma: float = 1e10
     #: interior projection margins for the initial point
     kappa_1: float = 1e-2
     kappa_2: float = 1e-2
     s_max: float = 100.0
+    #: KKT factorization precision: "f64" (default) or "mixed" (factor
+    #: the equilibrated condensed matrix in f32, refine against the f64
+    #: residual).  Mixed is experimental: the condensed matrix
+    #: K = W + J^T J/dc has condition number ~ 1/dc *by construction*
+    #: (the rank-deficient J^T J block dominates W by 1e8+), so an f32
+    #: factorization only works with a much larger dual regularization
+    #: and aggressive refinement.
+    kkt_precision: str = "f64"
+    #: rounds of mixed-precision iterative refinement per KKT solve
+    ir_rounds: int = 2
+    #: comma-separated trace-time ablation tags for performance bisection
+    #: (debug only): "hess1" H:=I, "nofactor" diagonal KKT solve,
+    #: "noesc" single factorization attempt (no inertia loop),
+    #: "nols" fixed fraction-to-boundary step (no Armijo sweep),
+    #: "nosoc" no second-order correction, "jac0" J:=0 (skips the
+    #: structured Jacobian assembly), "nojtj" J^T J := 0 in K,
+    #: "noir" no iterative refinement rounds.
+    debug_ablate: str = ""
 
 
 class IPMResult(NamedTuple):
@@ -100,6 +145,15 @@ class _State(NamedTuple):
     it: jnp.ndarray
     e0: jnp.ndarray
     done: jnp.ndarray
+    #: Wächter–Biegler filter (fixed-capacity arrays; entries store the
+    #: already-reduced pair ((1-gamma_theta) theta, phi - gamma_phi theta)
+    #: so membership is a plain elementwise AND-compare)
+    fth: jnp.ndarray
+    fph: jnp.ndarray
+    fcnt: jnp.ndarray
+    th_min: jnp.ndarray
+    th_max: jnp.ndarray
+    mu_f: jnp.ndarray
 
 
 def _interior_init(x0, xl, xu, k1, k2):
@@ -162,6 +216,9 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
 
     from .linalg import make_spd_solver
     spd_factor, spd_solve, spd_diag = make_spd_solver(n + ns)
+    mixed = opt.kkt_precision == "mixed"
+    fac_dtype = jnp.float32 if mixed else None
+    ablate = frozenset(t for t in opt.debug_ablate.split(",") if t)
 
     derivatives = derivatives or {}
     grad_f = derivatives.get("grad_f") or jax.grad(f_fn)
@@ -245,7 +302,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         this is the TPU-native replacement for MUMPS' inertia detection).
         """
         x = v[:n]
-        H = hess_lag(x, lam, theta)
+        H = jnp.eye(n) if "hess1" in ablate else hess_lag(x, lam, theta)
         dl, du = dists(v)
         sig_l = jnp.where(jnp_has_l, zl / dl, 0.0)
         sig_u = jnp.where(jnp_has_u, zu / du, 0.0)
@@ -266,29 +323,89 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         # "LDL-free" condensed-space KKT; see PAPERS.md).  Shrinks with mu
         # so it does not limit final accuracy.
         dc = jnp.maximum(1e-8 * jnp.sqrt(jnp.sqrt(mu)), 1e-12)
-        JtJ = J.T @ J
+        # The condensed matrix K is only ever *factored* — every residual
+        # in the refinement loop below is computed from W0/J/dc directly.
+        # In mixed mode the O(nv^2 m) JtJ product and the O(nv^3)
+        # factorization therefore run in f32 (the TPU has no native f64
+        # matmul; emulation costs ~25x), while step accuracy is restored
+        # by f64 iterative refinement.
+        if mixed:
+            J_f = J.astype(fac_dtype)
+            JtJ_f = J_f.T @ J_f
+            W0_f = W0.astype(fac_dtype)
+            eye_f = jnp.eye(nv, dtype=fac_dtype)
+            piv_floor = 1e-16
+        else:
+            JtJ_f = J.T @ J
+            W0_f = W0
+            eye_f = eye_nv
+            piv_floor = 1e-100
+        if "nojtj" in ablate:
+            JtJ_f = jnp.zeros_like(JtJ_f)
+
+        # Base condensed matrix (dw = 0); regularized variants add dw*I.
+        K0_f = W0_f + JtJ_f / dc.astype(JtJ_f.dtype)
+
+        def equil_factor(Kmat):
+            """Jacobi-equilibrated Cholesky of one or a stack of K's.
+
+            Symmetric equilibration K' = D K D with D = diag(K)^-1/2:
+            near the solution the diagonal of K spans ~20 orders of
+            magnitude (Sigma ~ z/d at active bounds plus the 1/dc
+            penalty block), which breaks an unpivoted f64 Cholesky long
+            before K is truly indefinite — equilibration bounds factor
+            growth by the *scaled* condition number, the stability role
+            pivoting plays inside MUMPS in the reference stack.
+            """
+            dK = jnp.sqrt(jnp.clip(
+                jnp.diagonal(Kmat, axis1=-2, axis2=-1), 1e-30, jnp.inf))
+            Ks = Kmat / dK[..., :, None] / dK[..., None, :]
+            if "nofactor" in ablate:
+                factors_ = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(spd_factor, Ks))
+            else:
+                factors_ = spd_factor(Ks)
+            # Indefiniteness detection: NaN/clamped-to-zero pivots.  On
+            # the equilibrated matrix a healthy pivot is O(1), so a
+            # small threshold is meaningful (in f32 a failed pivot
+            # clamps to exactly zero).
+            diag = spd_diag(factors_)
+            lvl_ok = jnp.all(jnp.isfinite(diag), axis=-1) \
+                & ~jnp.any(diag < piv_floor, axis=-1)
+            return factors_, dK, lvl_ok
+
+        def solve_with(factors_, dK64, dw):
+            """KKT solve + f64 iterative refinement on given factors."""
+            def ksolve(rhs):
+                if "nofactor" in ablate:
+                    return rhs / (dK64 * dK64)
+                z = spd_solve(factors_, (rhs / dK64).astype(
+                    fac_dtype or v.dtype))
+                return z.astype(v.dtype) / dK64
+
+            rhs1 = -(rd + J.T @ (rg / dc))
+            dv = ksolve(rhs1)
+            dlam = (J @ dv + rg) / dc
+            # Iterative refinement on the *unregularized* KKT residual
+            # (always f64) cleans up both the 1/dc amplification of
+            # roundoff and, in mixed mode, the f32 factorization error.
+            for _ in range(0 if "noir" in ablate else opt.ir_rounds):
+                res1 = -rd - (W0 @ dv + dw * dv + J.T @ dlam)
+                res2 = -rg - (J @ dv - dc * dlam)
+                ev = ksolve(res1 + J.T @ (res2 / dc))
+                dv = dv + ev
+                dlam = dlam + (J @ ev - res2) / dc
+            solved_ok = ~(jnp.any(jnp.isnan(dv)) | jnp.any(jnp.isinf(dv))
+                          | jnp.any(jnp.isnan(dlam)))
+            return dv, dlam, solved_ok
 
         def attempt(dw):
-            K = W0 + JtJ / dc + dw * eye_nv
-            factors = spd_factor(K)
-            rhs1 = -(rd + J.T @ (rg / dc))
-            dv = spd_solve(factors, rhs1)
-            dlam = (J @ dv + rg) / dc
-            # One round of iterative refinement on the *unregularized* KKT
-            # residual cleans up the 1/dc amplification of roundoff.
-            res1 = -rd - (W0 @ dv + dw * dv + J.T @ dlam)
-            res2 = -rg - (J @ dv - dc * dlam)
-            ev = spd_solve(factors, res1 + J.T @ (res2 / dc))
-            dv = dv + ev
-            dlam = dlam + (J @ ev - res2) / dc
-            # Failure detection: NaNs (XLA path) or clamped/blown-up
-            # pivots (blocked path) both mark an indefinite K.
-            diag = spd_diag(factors)
-            ok = ~(jnp.any(jnp.isnan(dv)) | jnp.any(jnp.isinf(dv))
-                   | jnp.any(jnp.isnan(dlam))
-                   | jnp.any(~jnp.isfinite(diag))
-                   | jnp.any(diag < 1e-100))
-            return dv, dlam, ok, factors
+            K = K0_f + dw.astype(K0_f.dtype) * eye_f
+            factors_, dK, lvl_ok = equil_factor(K)
+            dK64 = dK.astype(v.dtype)
+            dv, dlam, solved_ok = solve_with(factors_, dK64, dw)
+            return dv, dlam, lvl_ok & solved_ok, (factors_, dK64)
 
         # Inertia-correction escalation as a do-while with a single copy
         # of the factorization program (keeps the compiled program small;
@@ -308,23 +425,73 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             dv, dlam, ok, factors = attempt(dw_next)
             return (dw_next, dv, dlam, ok, k + 1, factors)
 
-        zero_factors = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype),
-            jax.eval_shape(lambda: attempt(jnp.asarray(0.0, v.dtype))[3]))
-        init = (jnp.asarray(0.0, v.dtype), jnp.zeros(nv), jnp.zeros(m),
-                jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                zero_factors)
-        dw_used, dv, dlam, ok, _, factors = jax.lax.while_loop(
-            esc_cond, esc_body, init)
+        if "noesc" in ablate:
+            dw_used = jnp.asarray(0.0, v.dtype)
+            dv, dlam, ok, factors = attempt(dw_used)
+        elif opt.inertia == "speculative":
+            # Speculative multi-level inertia correction: factor K at
+            # dw in {0, spec_levels * 0.3*dw_last, delta_w_max} in ONE
+            # batched call and keep the first positive-definite level.
+            # Replaces the do-while retry: under vmap a retry by ANY
+            # instance refactors the WHOLE batch (measured ~60% of the
+            # iteration cost on the batched cart-pole workload), while
+            # the stacked factorization amortizes into the same batched
+            # matmul-dominated kernel.
+            dw1 = jnp.maximum(opt.delta_w_min, 0.3 * dw_last)
+            dws = jnp.stack(
+                [jnp.zeros_like(dw1)]
+                + [jnp.minimum(m_ * dw1, opt.delta_w_max)
+                   for m_ in opt.spec_levels])
+            K_all = K0_f[None] \
+                + dws[:, None, None].astype(K0_f.dtype) * eye_f[None]
+            fac_all, dK_all, lvl_ok = equil_factor(K_all)
+            lvl = jnp.argmax(lvl_ok)
+            any_lvl = jnp.any(lvl_ok)
+            factors_sel = jax.tree_util.tree_map(lambda a: a[lvl],
+                                                 fac_all)
+            dK64 = dK_all[lvl].astype(v.dtype)
+            dw_spec = dws[lvl]
+            dv, dlam, solved_ok = solve_with(factors_sel, dK64, dw_spec)
+            ok0 = any_lvl & solved_ok
+            # Escalation fallback above the top speculative level for the
+            # (rare) instances that are still indefinite; zero-trip when
+            # the whole batch is satisfied.
+            init = (dws[-1], dv, dlam, ok0, jnp.asarray(1, jnp.int32),
+                    (factors_sel, dK64))
+            dw_used, dv, dlam, ok, _, factors = jax.lax.while_loop(
+                esc_cond, esc_body, init)
+            dw_used = jnp.where(ok0, dw_spec, dw_used)
+        else:
+            zero_factors = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(
+                    lambda: attempt(jnp.asarray(0.0, v.dtype))[3]))
+            init = (jnp.asarray(0.0, v.dtype), jnp.zeros(nv),
+                    jnp.zeros(m), jnp.asarray(False),
+                    jnp.asarray(0, jnp.int32), zero_factors)
+            dw_used, dv, dlam, ok, _, factors = jax.lax.while_loop(
+                esc_cond, esc_body, init)
         dzl = jnp.where(jnp_has_l, mu_dl - zl - sig_l * dv, 0.0)
         dzu = jnp.where(jnp_has_u, mu_du - zu + sig_u * dv, 0.0)
+        # Sigma ~ kappa*mu/d^2 can overflow for near-boundary iterates
+        # even when dv itself is finite; a non-finite dual displacement
+        # must mark the step failed (0 * inf = NaN otherwise poisons z).
+        ok = ok & jnp.all(jnp.isfinite(dzl)) & jnp.all(jnp.isfinite(dzu))
         # Directional derivative of the barrier objective along dv.
         step_dir = gf @ dv[:n] - jnp.sum(mu_dl * dv) + jnp.sum(mu_du * dv)
 
         def corrector(rg_soc):
             """Solve the KKT system with rhs (0, rg_soc) using the
-            existing factorization (for second-order corrections)."""
-            dv_c = spd_solve(factors, -(J.T @ (rg_soc / dc)))
+            existing (equilibrated) factorization (for second-order
+            corrections)."""
+            fac, dK64_ = factors
+            rhs = -(J.T @ (rg_soc / dc))
+            if "nofactor" in ablate:
+                dv_c = rhs / (dK64_ * dK64_)
+            else:
+                z = spd_solve(fac, (rhs / dK64_).astype(
+                    fac_dtype or v.dtype))
+                dv_c = z.astype(v.dtype) / dK64_
             dlam_c = (J @ dv_c + rg_soc) / dc
             return dv_c, dlam_c
 
@@ -359,6 +526,9 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         transcriptions (the Maratos effect) the same way IPOPT does.
         Returns the *effective* primal and multiplier displacements.
         """
+        if "nols" in ablate:
+            return (alpha_max * dv, alpha_max * dlam, alpha_max,
+                    jnp.asarray(True))
         phi0 = f0 + barrier(v, mu) + nu * jnp.sum(jnp.abs(g0))
         dphi = gf_dv - nu * jnp.sum(jnp.abs(g0))
         dphi = jnp.minimum(dphi, 0.0)
@@ -369,6 +539,10 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         first = jnp.argmax(ok)
         alpha_plain = jnp.where(any_ok, alphas[first], alphas[-1])
 
+        if "nosoc" in ablate:
+            alpha_plain_eff = jnp.where(any_ok, alphas[first], alphas[-1])
+            return (alpha_plain_eff * dv, alpha_plain_eff * dlam,
+                    alpha_plain_eff, any_ok)
         # SOC candidate from the full-step constraint residual.
         g_trial = g_fn(v + alpha_max * dv, theta)
         dv_c, dlam_c = corrector(alpha_max * g0 + g_trial)
@@ -395,13 +569,108 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         nu_trial = gf_dv / jnp.maximum(0.9 * g1, 1e-12) + 1.0
         return jnp.clip(jnp.maximum(nu, nu_trial), 0.0, 1e10)
 
+    FSZ = max(1, min(opt.filter_size, opt.max_iter + 1))
+
+    def theta_phi(v_t, mu, theta):
+        """(constraint violation, barrier objective) of a trial point."""
+        th = jnp.sum(jnp.abs(g_fn(v_t, theta)))
+        ph = f_fn(v_t[:n], theta) + barrier(v_t, mu)
+        return th, ph
+
+    def filter_line_search(state: _State, dv, dlam, alpha_max, dphi,
+                           corrector, theta, g0, f0):
+        """Wächter–Biegler filter backtracking (IPOPT Algorithm A, the
+        reference solver's actual globalization) as one batched trial
+        sweep plus a second-order-correction candidate.
+
+        Returns (dv_eff, dlam_eff, alpha, ls_ok, fth, fph, fcnt) — the
+        effective displacements and the augmented filter.
+        """
+        v, mu = state.v, state.mu
+        fth, fph, fcnt = state.fth, state.fph, state.fcnt
+        th0 = jnp.sum(jnp.abs(g0))
+        ph0 = f0 + barrier(v, mu)
+        dphi = jnp.minimum(dphi, 0.0)
+
+        def acceptable(th_t, ph_t, alpha_t):
+            """(filter-acceptable, point-acceptable, phi-type) tests."""
+            valid = jnp.arange(FSZ) < fcnt
+            blocked = jnp.any((th_t >= fth) & (ph_t >= fph) & valid)
+            sw = (th0 <= state.th_min) & (dphi < 0.0) \
+                & (alpha_t * (-dphi) ** opt.s_phi
+                   > opt.delta_sw * th0 ** opt.s_theta)
+            armijo = ph_t <= ph0 + opt.eta_armijo * alpha_t * dphi
+            suff = (th_t <= (1.0 - opt.gamma_theta) * th0) \
+                | (ph_t <= ph0 - opt.gamma_phi * th0)
+            point_ok = jnp.where(sw, armijo, suff)
+            return (~blocked) & point_ok, sw & armijo
+
+        alphas = alpha_max * (0.5 ** jnp.arange(opt.max_ls))
+
+        def trial(a):
+            th_t, ph_t = theta_phi(v + a * dv, mu, theta)
+            ok, phi_type = acceptable(th_t, ph_t, a)
+            return ok, phi_type, th_t
+        ok_k, phi_k, th_k = jax.vmap(trial)(alphas)
+        any_ok = jnp.any(ok_k)
+        first = jnp.argmax(ok_k)
+        alpha_plain = alphas[first]
+        phi_type_plain = phi_k[first]
+
+        # SOC candidate from the full-step constraint residual (tried when
+        # the full plain step was rejected and did not reduce theta).
+        g_trial = g_fn(v + alpha_max * dv, theta)
+        dv_c, dlam_c = corrector(alpha_max * g0 + g_trial)
+        soc_bad = jnp.any(jnp.isnan(dv_c))
+        dv_c = jnp.where(soc_bad, 0.0, dv_c)
+        dlam_c = jnp.where(soc_bad, 0.0, dlam_c)
+        disp = alpha_max * dv + dv_c
+        beta = ftb_primal(v, disp, mu)
+        th_soc, ph_soc = theta_phi(v + beta * disp, mu, theta)
+        soc_ok, soc_phi_type = acceptable(th_soc, ph_soc,
+                                          beta * alpha_max)
+        use_soc = soc_ok & (~soc_bad) & (~ok_k[0]) \
+            & (beta * alpha_max > jnp.where(any_ok, alpha_plain, 0.0))
+
+        # Emergency fallback when nothing is acceptable: the trial with
+        # the smallest constraint violation (a pure feasibility move —
+        # the poor man's restoration phase).
+        k_feas = jnp.argmin(jnp.where(jnp.isnan(th_k), jnp.inf, th_k))
+        alpha_fall = alphas[k_feas]
+
+        alpha_eff = jnp.where(any_ok, alpha_plain, alpha_fall)
+        dv_eff = jnp.where(use_soc, beta * disp, alpha_eff * dv)
+        dlam_eff = jnp.where(use_soc,
+                             beta * (alpha_max * dlam + dlam_c),
+                             alpha_eff * dlam)
+        alpha_rep = jnp.where(use_soc, beta * alpha_max, alpha_eff)
+        ls_ok = any_ok | use_soc
+
+        # Filter augmentation on theta-type (non-Armijo) accepted steps
+        # (IPOPT eq. 22); ring-buffer overwrite beyond capacity.
+        phi_type = jnp.where(use_soc, soc_phi_type, phi_type_plain)
+        augment = ls_ok & (~phi_type)
+        slot = jnp.where(fcnt < FSZ, fcnt, 1 + (state.it % (FSZ - 1))
+                         if FSZ > 1 else 0)
+        slot = jnp.asarray(slot, jnp.int32)
+        fth_n = jnp.where(augment,
+                          fth.at[slot].set((1.0 - opt.gamma_theta) * th0),
+                          fth)
+        fph_n = jnp.where(augment,
+                          fph.at[slot].set(ph0 - opt.gamma_phi * th0),
+                          fph)
+        fcnt_n = jnp.where(augment, jnp.minimum(fcnt + 1, FSZ), fcnt)
+        return dv_eff, dlam_eff, alpha_rep, ls_ok, fth_n, fph_n, fcnt_n
+
     def body(state: _State, theta):
-        v, lam, zl, zu, mu, nu, dw, dw_last, it, _, done = state
+        v, lam, zl, zu, mu, nu = (state.v, state.lam, state.zl, state.zu,
+                                  state.mu, state.nu)
+        dw_last, it = state.dw_last, state.it
         # One derivative evaluation per iterate, shared by the KKT error,
         # the Newton step, and the line search.
         x = v[:n]
         gf = grad_f(x, theta)
-        Jc = jac_c(x, theta)
+        Jc = jnp.zeros((m, n)) if "jac0" in ablate else jac_c(x, theta)
         rg = g_fn(v, theta)
         f0 = f_fn(x, theta)
         e_0 = kkt_error_pre(gf, Jc, rg, v, lam, zl, zu, 0.0)
@@ -419,24 +688,49 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         nu_new = update_nu(nu, rg, gf_dv)
         alpha_max = ftb_primal(v, dv, mu)
         alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
-        dv_eff, dlam_eff, alpha, ls_ok = line_search(
-            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta,
-            rg, f0)
+        if opt.line_search == "filter":
+            (dv_eff, dlam_eff, alpha, ls_ok, fth_n, fph_n,
+             fcnt_n) = filter_line_search(state, dv, dlam, alpha_max,
+                                          gf_dv, corrector, theta, rg, f0)
+        else:
+            dv_eff, dlam_eff, alpha, ls_ok = line_search(
+                v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector,
+                theta, rg, f0)
+            fth_n, fph_n, fcnt_n = state.fth, state.fph, state.fcnt
+        fth_n = jnp.where(bad, state.fth, fth_n)
+        fph_n = jnp.where(bad, state.fph, fph_n)
+        fcnt_n = jnp.where(bad, state.fcnt, fcnt_n)
         dv_eff = jnp.where(bad, 0.0, dv_eff)
         dlam_eff = jnp.where(bad, 0.0, dlam_eff)
         alpha_dual = jnp.where(bad, 0.0, alpha_dual)
         v_n = v + dv_eff
+        # Interior repair: fraction-to-boundary keeps (1-tau)*d > 0 in
+        # exact arithmetic, but v + dv can round ONTO a bound in f64
+        # (catastrophic cancellation when d ~ eps*|v|), after which z/d
+        # and the kappa_Sigma clip blow up.  Same role as IPOPT's slack
+        # correction (section 3.5).
+        margin_l = 1e-14 * jnp.maximum(1.0, jnp.abs(jnp_vl))
+        margin_u = 1e-14 * jnp.maximum(1.0, jnp.abs(jnp_vu))
+        v_n = jnp.where(jnp_has_l, jnp.maximum(v_n, jnp_vl + margin_l),
+                        v_n)
+        v_n = jnp.where(jnp_has_u, jnp.minimum(v_n, jnp_vu - margin_u),
+                        v_n)
         lam_n = lam + dlam_eff
         zl_n = zl + alpha_dual * dzl
         zu_n = zu + alpha_dual * dzu
-        # kappa_Sigma safeguard keeps z consistent with mu/d.
+        # kappa_Sigma safeguard keeps z consistent with mu/d.  Distances
+        # are floored: an iterate can land exactly on a bound in f64
+        # despite fraction-to-boundary, and an infinite clip bound would
+        # set z = inf.
         dl, du = dists(v_n)
+        dl_s = jnp.maximum(dl, 1e-40)
+        du_s = jnp.maximum(du, 1e-40)
         zl_n = jnp.where(jnp_has_l,
-                         jnp.clip(zl_n, mu / (opt.kappa_sigma * dl),
-                                  opt.kappa_sigma * mu / dl), 0.0)
+                         jnp.clip(zl_n, mu / (opt.kappa_sigma * dl_s),
+                                  opt.kappa_sigma * mu / dl_s), 0.0)
         zu_n = jnp.where(jnp_has_u,
-                         jnp.clip(zu_n, mu / (opt.kappa_sigma * du),
-                                  opt.kappa_sigma * mu / du), 0.0)
+                         jnp.clip(zu_n, mu / (opt.kappa_sigma * du_s),
+                                  opt.kappa_sigma * mu / du_s), 0.0)
         dw_last_n = jnp.where(dw_used > 0.0,
                               jnp.maximum(dw_used, opt.delta_w_min),
                               dw_last)
@@ -468,8 +762,18 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                                         mu ** opt.theta_mu)),
                 mu)
             mu_n = jnp.maximum(mu_n, opt.mu_min)
+        # Filter reset when the barrier parameter moves substantially
+        # (stored phi values are mu-dependent; IPOPT re-initialises the
+        # filter at every barrier-problem change).
+        reset = jnp.abs(jnp.log(jnp.maximum(mu_n, 1e-300))
+                        - jnp.log(jnp.maximum(state.mu_f, 1e-300))) \
+            > jnp.log(5.0)
+        fcnt_n = jnp.where(reset, jnp.asarray(1, fcnt_n.dtype), fcnt_n)
+        mu_f_n = jnp.where(reset, mu_n, state.mu_f)
         return _State(v_n, lam_n, zl_n, zu_n, mu_n, nu_new, dw_used,
-                      dw_last_n, it + 1, e_0, done_now)
+                      dw_last_n, it + 1, e_0, done_now,
+                      fth_n, fph_n, fcnt_n, state.th_min, state.th_max,
+                      mu_f_n)
 
     def init_state(x0, theta, lam0=None, zl0=None, zu0=None, mu0=None):
         """Initial IPM state; optionally warm-started with multipliers.
@@ -512,13 +816,23 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         else:
             zu_init = zu_def
         lam_init = jnp.zeros(m) if lam0 is None else jnp.asarray(lam0)
+        # Filter initialisation (IPOPT sec. 3.7): a single guard entry
+        # blocking any point with violation >= theta_max.
+        th0 = jnp.sum(jnp.abs(g_fn(v0, theta)))
+        th_ref = jnp.maximum(1.0, th0)
+        th_min = 1e-4 * th_ref
+        th_max = 1e4 * th_ref
+        fth0 = jnp.full((FSZ,), jnp.inf).at[0].set(th_max)
+        fph0 = jnp.full((FSZ,), jnp.inf).at[0].set(-jnp.inf)
         return _State(v0, lam_init, zl_init, zu_init, mu0,
                       jnp.asarray(1.0, v0.dtype),
                       jnp.asarray(opt.delta_w_init, v0.dtype),
                       jnp.asarray(opt.delta_w_first, v0.dtype),
                       jnp.asarray(0, jnp.int32),
                       jnp.asarray(jnp.inf, v0.dtype),
-                      jnp.asarray(False))
+                      jnp.asarray(False),
+                      fth0, fph0, jnp.asarray(1, jnp.int32),
+                      th_min, th_max, mu0)
 
     def _run(state0, theta):
         def cond(state):
@@ -543,7 +857,9 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
 
     def debug_step(state: _State, theta):
         """One body step with diagnostics (host-side debugging only)."""
-        v, lam, zl, zu, mu, nu, dw, dw_last, it, _, done = state
+        v, lam, zl, zu, mu, nu = (state.v, state.lam, state.zl, state.zu,
+                                  state.mu, state.nu)
+        dw_last = state.dw_last
         x = v[:n]
         gf = grad_f(x, theta)
         Jc = jac_c(x, theta)
@@ -554,9 +870,14 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         nu_new = update_nu(nu, rg, gf_dv)
         alpha_max = ftb_primal(v, dv, mu)
         alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
-        _, _, alpha, ls_ok = line_search(
-            v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector, theta,
-            rg, f0)
+        if opt.line_search == "filter":
+            _, _, alpha, ls_ok, _, _, _ = filter_line_search(
+                state, dv, dlam, alpha_max, gf_dv, corrector, theta, rg,
+                f0)
+        else:
+            _, _, alpha, ls_ok = line_search(
+                v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector,
+                theta, rg, f0)
         rd = jnp.concatenate([gf + Jc.T @ lam,
                               -lam[ineq_idx] if ns else jnp.zeros(0)]) \
             - zl + zu

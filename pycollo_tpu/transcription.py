@@ -856,7 +856,9 @@ class MeshIteration:
             options = IPMOptions(tol=self.settings.nlp_tolerance,
                                  max_iter=self.settings.max_nlp_iterations,
                                  mu_init=self.settings.ipm_mu_init,
-                                 mu_min=self.settings.ipm_mu_min)
+                                 mu_min=self.settings.ipm_mu_min,
+                                 line_search=self.settings.ipm_line_search,
+                                 inertia=self.settings.ipm_inertia)
         derivatives = self._build_structured_derivatives() \
             if use_structured else None
         self._solver = build_ipm_solver(self.f_scaled, self.c_scaled,
