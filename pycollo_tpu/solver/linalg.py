@@ -1,23 +1,24 @@
-"""Batched dense linear algebra tuned for TPU.
+"""Batched dense linear algebra for the condensed-space KKT solves.
 
-XLA's TPU lowerings of ``cholesky``/``triangular_solve`` for batched f64
-matrices are loop-based and catastrophically slow (~1s for 256 x 150^2,
-measured on v5e — about three orders of magnitude off the roofline).  This
-module reimplements both as *blocked, matmul-dominated* algorithms: the
-sequential work is confined to an unblocked scan over the columns of small
-diagonal blocks, and everything else is batched (B, nb, nb) matmuls that
-XLA maps onto the MXU (f64 matmul on TPU is emulated but vectorized and
-fast).  This is the dense-KKT workhorse of the condensed-space interior
-point solver — the TPU-native replacement for the reference's MUMPS
-factorization inside IPOPT.
+This is the dense-KKT workhorse of the condensed-space interior point
+solver — the TPU-native replacement for the reference's MUMPS
+factorization inside IPOPT (``pycollo/backend.py:1695-1711``).
 
-On CPU the LAPACK-backed XLA ops are already optimal, so callers choose
-the implementation per backend (see ``use_blocked_linalg``).
+Measured on the available v5e chip (jax 0.9): XLA's native
+``jnp.linalg.cholesky`` / ``cho_solve`` lowerings are *fast* for the
+batched sizes the IPM produces (256x128x128 f64 factor ~0.1 ms), so the
+native ops are the default on every backend.  The hand-blocked
+matmul-dominated reimplementation (``BlockedCholesky``, written against
+an older jax whose TPU lowering was loop-based) is retained behind
+``PYCOLLO_TPU_BLOCKED_LINALG=1`` for comparison — its per-call runtime
+is competitive but its recursive-halving program takes ~18 s to compile
+per instantiation, which multiplies disastrously inside the IPM loop.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -25,8 +26,9 @@ import jax.numpy as jnp
 
 
 def use_blocked_linalg() -> bool:
-    """Blocked implementations pay off on TPU; LAPACK wins on CPU."""
-    return jax.default_backend() in ("tpu", "axon")
+    """Native XLA cholesky wins on every backend measured (see module
+    docstring); the blocked path is opt-in for benchmarking."""
+    return os.environ.get("PYCOLLO_TPU_BLOCKED_LINALG", "") == "1"
 
 
 def _unblocked_cholesky(A):
