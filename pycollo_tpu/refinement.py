@@ -193,6 +193,19 @@ class PattersonRaoMeshRefinement:
                                    q=pd.q, t0=pd.t0, tF=pd.tF)
 
 
+def _display_mesh_result_info(solution, iteration):
+    """Per-iteration solution report (``settings.display_mesh_result_info``;
+    reference analogue: ``pycollo/iteration.py:607-646``)."""
+    console_out(f"Mesh iteration {iteration.number} result", heading=True)
+    console_out(f"objective: {solution.objective:.10g}")
+    for i, pd in enumerate(solution.phase_data):
+        parts = [f"phase {i}: t in [{pd.t0:.6g}, {pd.tF:.6g}]",
+                 f"N = {pd.y.shape[1]} nodes"]
+        if pd.q.size:
+            parts.append("q = " + np.array2string(pd.q, precision=6))
+        console_out("; ".join(parts))
+
+
 def build_warm_start(prev_result, prev_it, new_it):
     """Interpolate the previous iteration's multipliers onto a new mesh.
 
@@ -283,6 +296,13 @@ def run_mesh_refinement_loop(backend, display: bool = True):
     it = backend.mesh_iterations[-1]
     warm = None
     prev_max_errors = None
+    # ``settings.warm_start`` gates the cross-mesh multiplier warm start
+    # (the reference's IPOPT ``warm_start_init_point`` pass-through,
+    # ``pycollo/backend.py:1703-1709``; reference default False,
+    # ``pycollo/settings.py:62``).  This framework defaults it to True:
+    # the interpolated warm start has a cold-retry fallback below, so it
+    # is strictly beneficial.
+    use_warm = bool(settings.warm_start)
     for loop_idx in range(settings.max_mesh_iterations):
         if display:
             shapes = [f"K={t.K},N={t.N}" for t in it.tables]
@@ -301,6 +321,10 @@ def run_mesh_refinement_loop(backend, display: bool = True):
                 result = cold
         iterations.append(result)
         solution = Solution(result)
+        if settings.display_mesh_result_info:
+            _display_mesh_result_info(solution, it)
+        if settings.display_mesh_result_graph:
+            solution.plot(show=True)
         refinement = solution.refine_mesh(prev_max_errors=prev_max_errors)
         max_err = refinement.max_relative_mesh_error
         prev_max_errors = [float(m.max()) if m.size else None
@@ -327,7 +351,7 @@ def run_mesh_refinement_loop(backend, display: bool = True):
         it = backend.new_mesh_iteration(refinement.next_tables,
                                         refinement.next_guesses,
                                         solution.parameter)
-        warm = build_warm_start(result, prev_it, it)
+        warm = build_warm_start(result, prev_it, it) if use_warm else None
     return RefinementLoopResult(iterations=iterations, solution=solution,
                                 mesh_tolerance_met=tolerance_met,
                                 mesh_errors=mesh_errors)

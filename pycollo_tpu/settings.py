@@ -80,7 +80,12 @@ class Settings:
         self._linear_solver = LINEAR_SOLVERS.default
         self._nlp_tolerance = 1e-8
         self._max_nlp_iterations = 200
-        self.warm_start = False
+        #: gate the cross-mesh-iteration multiplier warm start (the
+        #: reference's IPOPT ``warm_start_init_point`` pass-through,
+        #: ``pycollo/backend.py:1703-1709``; reference default False).
+        #: Default True here: the interpolated warm start carries a
+        #: cold-retry fallback, so it is strictly beneficial.
+        self.warm_start = True
         #: initial barrier parameter for the interior-point solver
         self.ipm_mu_init = 1e-1
         #: smallest barrier parameter (matches the reference's IPOPT

@@ -76,7 +76,17 @@ class SymbolicPhaseFunctions:
         s_syms = list(ocp.parameter_variables)
         aux = _sympify_aux({**ocp.auxiliary_data, **phase.auxiliary_data})
         self.aux_map = aux
-        allowed = set(y_syms) | set(u_syms) | set(s_syms)
+        # Continuous-time symbol: ``t`` (also what
+        # ``sympy.physics.mechanics.dynamicsymbols._t`` resolves to) may
+        # appear in dynamics/path/integrand expressions and is bound to
+        # the node times.  The reference has no continuous-time symbol at
+        # all; supporting it here closes a silent-wrong-answer hole
+        # (time-dependent sympy dynamics previously dropped ``t``).  A
+        # state/control/parameter literally named ``t`` wins the clash.
+        t_sym = sympy.Symbol("t")
+        var_syms = set(y_syms) | set(u_syms) | set(s_syms)
+        self._t_sym = None if t_sym in var_syms or t_sym in aux else t_sym
+        allowed = var_syms | ({self._t_sym} if self._t_sym else set())
 
         def prepare(exprs, what):
             resolved = []
@@ -93,7 +103,8 @@ class SymbolicPhaseFunctions:
         self.q_fnc = prepare(list(phase.integrand_functions),
                              f"integrand functions of phase {phase.name!r}")
 
-        args = tuple(y_syms) + tuple(u_syms) + tuple(s_syms)
+        args = tuple(y_syms) + tuple(u_syms) + tuple(s_syms) \
+            + ((self._t_sym,) if self._t_sym else ())
         self._ny, self._nu, self._ns = len(y_syms), len(u_syms), len(s_syms)
         self._dyn = _lambdify_vector(self.y_eqn, args, "dynamics")
         self._path = _lambdify_vector(self.p_con, args, "path") \
@@ -105,7 +116,8 @@ class SymbolicPhaseFunctions:
         jnp = self._jnp
         args = [y[i] for i in range(self._ny)] \
             + [u[i] for i in range(self._nu)] \
-            + [s[i] for i in range(self._ns)]
+            + [s[i] for i in range(self._ns)] \
+            + ([t] if self._t_sym else [])
         out = fn(*args)
         vals = [jnp.asarray(v, dtype=jnp.result_type(float)) for v in out]
         # Broadcast numeric constants against traced entries.

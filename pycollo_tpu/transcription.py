@@ -319,18 +319,17 @@ class MeshIteration:
             self.dump_nlp_check_values()
 
     # -- variable metadata ---------------------------------------------
-    def _build_variable_metadata(self):
-        lay = self.layout
-        cb = self.compiled
+    def _ocp_var_scales_from_bounds(self):
+        """Per-OCP-variable scales from bounds: V = xu - xl, r = midpoint
+        (``pycollo/scaling.py:87-92``), V=1/r=0 for un/half-bounded.
+
+        Returns flat arrays over the OCP variable order (per phase
+        [y..., u..., q..., t0, tF], then s) — the granularity the EWMA
+        cross-iteration update averages at
+        (``pycollo/scaling.py:283-344``)."""
         inf_thresh = 1e18
-        lb = np.empty(lay.n_full)
-        ub = np.empty(lay.n_full)
-        V = np.ones(lay.n_full)
-        r = np.zeros(lay.n_full)
 
         def var_scale(bnd):
-            """V = xu - xl, r = midpoint (``pycollo/scaling.py:87-92``);
-            falls back to V=1, r=0 for un/half-bounded variables."""
             lo, hi = bnd[..., 0], bnd[..., 1]
             finite = (np.abs(lo) < inf_thresh) & (np.abs(hi) < inf_thresh) \
                 & (hi > lo)
@@ -338,6 +337,91 @@ class MeshIteration:
             rv = np.where(finite, 0.5 * (lo + hi), 0.0)
             return Vv, rv
 
+        V_parts, r_parts = [], []
+        for pb in self.compiled.phase_bounds:
+            for bnd in (pb.y_bnd, pb.u_bnd, pb.q_bnd,
+                        np.stack([pb.t0_bnd, pb.tF_bnd])):
+                Vv, rv = var_scale(np.atleast_2d(bnd))
+                V_parts.append(Vv)
+                r_parts.append(rv)
+        Vs, rs = var_scale(self.compiled.problem_bounds.s_bnd)
+        V_parts.append(Vs)
+        r_parts.append(rs)
+        return (np.concatenate(V_parts) if V_parts else np.zeros(0),
+                np.concatenate(r_parts) if r_parts else np.zeros(0))
+
+    def _ocp_var_scales_from_guess(self, V_last, r_last):
+        """Per-OCP-variable scales from the incoming guess trajectories
+        (``pycollo/scaling.py:295-324``): trajectory variables (y, u) get
+        V = amplitude across mesh nodes, r = midpoint of the range;
+        point variables (q, t, s) get V = |value|,
+        r = (V_next / V_last) * r_last.  Degenerate (zero) amplitudes
+        keep the previous scale (guard absent in the reference, which
+        divides by zero there)."""
+        V = np.array(V_last)
+        r = np.array(r_last)
+        off = 0
+        for pl, g in zip(self.layout.phases, self.phase_guesses):
+            for traj in (g.y, g.u):
+                for row in traj:
+                    amp = row.max() - row.min()
+                    if amp > 1e-12:
+                        V[off] = amp
+                        r[off] = row.max() - 0.5 * amp
+                    off += 1
+            for val in list(np.atleast_1d(g.q)) + [g.t0, g.tF]:
+                v_next = abs(float(val))
+                if v_next > 1e-12:
+                    r[off] = (v_next / V[off]) * r[off]
+                    V[off] = v_next
+                off += 1
+        for val in self.s_guess:
+            v_next = abs(float(val))
+            if v_next > 1e-12:
+                r[off] = (v_next / V[off]) * r[off]
+                V[off] = v_next
+            off += 1
+        return V, r
+
+    def _ewma_weights(self, length: int):
+        """Exponential weights over [oldest, ..., newest] mirroring
+        ``pycollo/scaling.py:287-293``: newest gets alpha, older entries
+        alpha*(1-alpha)^age, and the oldest entry's weight is divided by
+        alpha so the weights sum to one."""
+        alpha = self.settings.scaling_weight
+        w = np.array([alpha * (1 - alpha) ** i for i in range(length)])
+        w = np.flip(w)
+        w[0] /= alpha
+        return w
+
+    def _build_variable_metadata(self):
+        lay = self.layout
+        cb = self.compiled
+        inf_thresh = 1e18
+        lb = np.empty(lay.n_full)
+        ub = np.empty(lay.n_full)
+
+        V_ocp, r_ocp = self._ocp_var_scales_from_bounds()
+        use_update = (self.settings.update_scaling and self.number > 1
+                      and self.settings.scaling_method != "none")
+        if use_update:
+            prev = self.compiled.mesh_iterations
+            V_next, r_next = self._ocp_var_scales_from_guess(
+                prev[-1].V_ocp, prev[-1].r_ocp)
+            weights = self._ewma_weights(len(prev) + 1)
+            V_ocp = np.average(
+                np.vstack([[p.V_ocp for p in prev], V_next[None]]),
+                axis=0, weights=weights)
+            r_ocp = np.average(
+                np.vstack([[p.r_ocp for p in prev], r_next[None]]),
+                axis=0, weights=weights)
+        self.V_ocp = V_ocp
+        self.r_ocp = r_ocp
+
+        # Expand OCP-level scales to the mesh and fill per-node bounds.
+        V = np.ones(lay.n_full)
+        r = np.zeros(lay.n_full)
+        off = 0
         for pl, pb, t in zip(lay.phases, cb.phase_bounds, self.tables):
             N = pl.N
             # y: per-node bounds with endpoint overrides
@@ -350,35 +434,34 @@ class MeshIteration:
             y_ub[:, -1] = pb.y_tF_bnd[:, 1]
             lb[pl.y_slice] = y_lb.ravel()
             ub[pl.y_slice] = y_ub.ravel()
-            Vy, ry = var_scale(pb.y_bnd)
-            V[pl.y_slice] = np.repeat(Vy, N)
-            r[pl.y_slice] = np.repeat(ry, N)
+            V[pl.y_slice] = np.repeat(V_ocp[off:off + pl.ny], N)
+            r[pl.y_slice] = np.repeat(r_ocp[off:off + pl.ny], N)
+            off += pl.ny
 
             lb[pl.u_slice] = np.repeat(pb.u_bnd[:, 0], N)
             ub[pl.u_slice] = np.repeat(pb.u_bnd[:, 1], N)
-            Vu, ru = var_scale(pb.u_bnd)
-            V[pl.u_slice] = np.repeat(Vu, N)
-            r[pl.u_slice] = np.repeat(ru, N)
+            V[pl.u_slice] = np.repeat(V_ocp[off:off + pl.nu], N)
+            r[pl.u_slice] = np.repeat(r_ocp[off:off + pl.nu], N)
+            off += pl.nu
 
             lb[pl.q_slice] = pb.q_bnd[:, 0]
             ub[pl.q_slice] = pb.q_bnd[:, 1]
-            Vq, rq = var_scale(pb.q_bnd)
-            V[pl.q_slice] = Vq
-            r[pl.q_slice] = rq
+            V[pl.q_slice] = V_ocp[off:off + pl.nq]
+            r[pl.q_slice] = r_ocp[off:off + pl.nq]
+            off += pl.nq
 
             t_bnd = np.stack([pb.t0_bnd, pb.tF_bnd])
             lb[pl.t_slice] = t_bnd[:, 0]
             ub[pl.t_slice] = t_bnd[:, 1]
-            Vt, rt = var_scale(t_bnd)
-            V[pl.t_slice] = Vt
-            r[pl.t_slice] = rt
+            V[pl.t_slice] = V_ocp[off:off + 2]
+            r[pl.t_slice] = r_ocp[off:off + 2]
+            off += 2
 
         sb = cb.problem_bounds.s_bnd
         lb[lay.s_slice] = sb[:, 0]
         ub[lay.s_slice] = sb[:, 1]
-        Vs, rs = var_scale(sb)
-        V[lay.s_slice] = Vs
-        r[lay.s_slice] = rs
+        V[lay.s_slice] = V_ocp[off:off + lay.ns]
+        r[lay.s_slice] = r_ocp[off:off + lay.ns]
 
         if self.settings.scaling_method == "none":
             V = np.ones_like(V)
@@ -676,12 +759,21 @@ class MeshIteration:
                     x_full))
             return J
 
+        # derivative_level (reference ``pycollo/settings.py`` derivative
+        # level 1/2): level 2 = exact Lagrangian Hessian; level 1 =
+        # Gauss-Newton — second derivatives of the user's dynamics/path/
+        # integrand and endpoint constraints are dropped (the analogue of
+        # the reference handing IPOPT first derivatives only and letting
+        # it quasi-Newton the rest), keeping only the objective curvature.
+        exact_hessian = self.settings.derivative_level == 2
+
         def hess_full(x_full, eta):
             """Dense (n_full, n_full) Hessian of eta . c_raw + w J."""
             s = x_full[lay.s_slice]
             H = jnp.zeros((n_full, n_full))
-            for i, (pl, jt, st) in enumerate(zip(lay.phases, jtables,
-                                                 phase_static)):
+            for i, (pl, jt, st) in enumerate(zip(
+                    lay.phases if exact_hessian else [], jtables,
+                    phase_static)):
                 t0 = x_full[pl.t_off]
                 tF = x_full[pl.t_off + 1]
                 y = x_full[pl.y_slice].reshape(pl.ny, pl.N)
@@ -735,7 +827,7 @@ class MeshIteration:
                 xf = x_full.at[ep_idx].set(x_ep)
                 ep = self.endpoints_of(xf)
                 val = self.w * program.objective(ep)
-                if lay.nb:
+                if lay.nb and exact_hessian:
                     eta_b = jax.lax.dynamic_slice(
                         eta, (lay.c_endpoint_off,), (lay.nb,))
                     val = val + eta_b @ program.endpoint_constraints(ep)
@@ -769,6 +861,34 @@ class MeshIteration:
                                        hess_lag=hess_lag_scaled)
         return self._structured_derivs
 
+    def _expand_W_ocp(self, W_ocp):
+        """Expand per-OCP-constraint scales to the mesh-row vector
+        (``pycollo/scaling.py:252-269``).  Returns (W_c, W_ocp); a None
+        input produces all-ones at both granularities."""
+        lay = self.layout
+        n_ocp = sum(len(pl.defect_states) + pl.npc + pl.nq
+                    for pl in lay.phases) + lay.nb
+        if W_ocp is None:
+            W_ocp = np.ones(n_ocp)
+        W_c = np.ones(lay.m_total)
+        off = 0
+        for pl in lay.phases:
+            nd_states = len(pl.defect_states)
+            W_c[pl.c_defect_off:pl.c_path_off] = np.repeat(
+                W_ocp[off:off + nd_states], pl.num_defect)
+            off += nd_states
+            if pl.npc:
+                W_c[pl.c_path_off:pl.c_integral_off] = np.repeat(
+                    W_ocp[off:off + pl.npc], pl.N)
+                off += pl.npc
+            if pl.nq:
+                W_c[pl.c_integral_off:pl.c_integral_off + pl.nq] = \
+                    W_ocp[off:off + pl.nq]
+                off += pl.nq
+        if lay.nb:
+            W_c[lay.c_endpoint_off:] = W_ocp[off:off + lay.nb]
+        return W_c, W_ocp
+
     # -- scaling ---------------------------------------------------------
     def _build_scaling(self):
         """Objective / constraint scaling (``pycollo/scaling.py:271-430``)."""
@@ -782,37 +902,48 @@ class MeshIteration:
         # The objective scale must exist before the structured Hessian
         # builder captures it; the gradient layer below refines it.
         self.w = 1.0
+        self.w_base = 1.0
+        use_update = (self.settings.update_scaling and self.number > 1
+                      and method != "none")
         if method == "none":
             self.W_c = np.ones(lay.m_total)
+            self.W_ocp = self._expand_W_ocp(None)[1]
         else:
-            # Constraint scales: defect rows 1/V_y, integral rows 1/V_q,
-            # path/endpoint rows 1/(row norms of G at the guess).  G comes
+            # Constraint scales (per OCP constraint): defect rows 1/V_y,
+            # integral rows 1/V_q, path/endpoint rows 1/(mean row norms of
+            # G at the guess) (``pycollo/scaling.py:370-430``).  G comes
             # from the structured per-node assembly (orders of magnitude
             # cheaper to compile than whole-program jacrev on TPU).
-            W_c = np.ones(lay.m_total)
             self._build_structured_derivatives()
             V_free = self.V_full[self.free_idx]
             x_full0 = jnp.asarray(self.x_full_guess)
             G = np.asarray(jax.jit(self._jac_full_fn)(x_full0))
             G = G[:, self.free_idx] * V_free[None, :]
             G_norm = np.sqrt((G ** 2).sum(axis=1))
+            W_parts = []
             for pl, pb in zip(lay.phases, self.compiled.phase_bounds):
                 Vy = self.V_full[pl.y_slice].reshape(pl.ny, pl.N)[:, 0]
-                d_scales = 1.0 / Vy[pl.defect_states]
-                W_c[pl.c_defect_off:pl.c_path_off] = np.repeat(
-                    d_scales, pl.num_defect)
+                W_parts.append(1.0 / Vy[pl.defect_states])
                 if pl.npc:
                     rows = G_norm[pl.c_path_off:pl.c_integral_off]
                     mean_rows = rows.reshape(pl.npc, pl.N).mean(axis=1)
-                    W_c[pl.c_path_off:pl.c_integral_off] = np.repeat(
-                        1.0 / np.maximum(mean_rows, 1e-8), pl.N)
+                    W_parts.append(1.0 / np.maximum(mean_rows, 1e-8))
                 if pl.nq:
-                    Vq = self.V_full[pl.q_slice]
-                    W_c[pl.c_integral_off:pl.c_integral_off + pl.nq] = \
-                        1.0 / Vq
+                    W_parts.append(1.0 / self.V_full[pl.q_slice])
             if lay.nb:
-                rows = G_norm[lay.c_endpoint_off:]
-                W_c[lay.c_endpoint_off:] = 1.0 / np.maximum(rows, 1e-8)
+                W_parts.append(
+                    1.0 / np.maximum(G_norm[lay.c_endpoint_off:], 1e-8))
+            W_ocp = np.concatenate(W_parts) if W_parts else np.zeros(0)
+            # EWMA across mesh iterations (``pycollo/scaling.py:283-344``,
+            # gated by ``settings.update_scaling``, weight alpha).
+            if use_update:
+                prev = self.compiled.mesh_iterations
+                weights = self._ewma_weights(len(prev) + 1)
+                W_ocp = np.average(
+                    np.vstack([[p.W_ocp for p in prev], W_ocp[None]]),
+                    axis=0, weights=weights)
+            self.W_ocp = W_ocp
+            W_c = self._expand_W_ocp(W_ocp)[0]
             # IPOPT-style gradient-based row scaling on top of the
             # reference-parity scales: the reference hands its scaled NLP
             # to IPOPT, whose default ``nlp_scaling_method =
@@ -824,13 +955,23 @@ class MeshIteration:
             W_c *= np.minimum(1.0, 100.0 / np.maximum(G_inf, 1e-8))
             self.W_c = W_c
             # Objective scale w: 1.0 on the first mesh iteration, then
-            # 1/||grad J|| at the guess (``pycollo/scaling.py:271-281``).
-            if self.number == 1 or method == "none":
-                self.w = 1.0
+            # 1/||grad J|| at the guess (``pycollo/scaling.py:271-281``),
+            # EWMA-averaged with previous iterations when
+            # ``update_scaling`` (``pycollo/scaling.py:283-293``).
+            if self.number == 1:
+                self.w_base = 1.0
             else:
                 g = np.asarray(jax.grad(self.f_unscaled)(xs0, theta0))
                 g_norm = float(np.sqrt((g ** 2).sum()))
-                self.w = 1.0 if np.isclose(g_norm, 0.0) else 1.0 / g_norm
+                w_cand = 1.0 if np.isclose(g_norm, 0.0) else 1.0 / g_norm
+                if use_update:
+                    prev = self.compiled.mesh_iterations
+                    weights = self._ewma_weights(len(prev) + 1)
+                    w_cand = float(np.average(
+                        np.array([p.w_base for p in prev] + [w_cand]),
+                        weights=weights))
+                self.w_base = w_cand
+            self.w = self.w_base
             gJ = np.asarray(jax.grad(self.f_unscaled)(xs0, theta0))
             gJ_inf = float(np.abs(self.w * gJ).max())
             self.w *= min(1.0, 100.0 / max(gJ_inf, 1e-8))
