@@ -81,6 +81,15 @@ class IPMOptions:
     delta_w_down: float = 3.0
     delta_w_max: float = 1e10
     delta_c: float = 1e-8
+    #: floor for the dual regularization dc = max(1e-8 * mu^(1/4),
+    #: dc_floor).  The default keeps dc negligible (exact steps, f64).
+    #: The mixed-precision path raises it (e.g. 1e-7): a larger dc caps
+    #: the condition number of the condensed matrix at ~1/dc, which is
+    #: what makes an f32 factorization + f64 iterative refinement
+    #: convergent; the cost is that the final reachable KKT residual is
+    #: O(dc)-limited — sized to the 1e-6 benchmark tolerance, not the
+    #: 1e-10 oracle tolerance.
+    dc_floor: float = 1e-12
     #: inertia correction scheme: "speculative" factors the condensed
     #: matrix at several regularization levels in ONE batched call and
     #: selects the first positive-definite level per instance (no
@@ -266,9 +275,12 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         return f_fn(x, theta) + barrier(v, mu) \
             + nu * jnp.sum(jnp.abs(g_fn(v, theta)))
 
-    def kkt_error_pre(gf, Jc, rg, v, lam, zl, zu, mu):
-        """Scaled KKT error (IPOPT eq. 5) from precomputed derivatives."""
-        rd_x = gf + Jc.T @ lam
+    def kkt_error_pre(gf, Jtlam, rg, v, lam, zl, zu, mu):
+        """Scaled KKT error (IPOPT eq. 5) from precomputed derivatives.
+
+        ``Jtlam = Jc^T lam`` — supplied either from an explicit Jacobian
+        (dense path) or a VJP (matrix-free structured path)."""
+        rd_x = gf + Jtlam
         rd_s = -lam[ineq_idx] if ns else jnp.zeros(0)
         rd = jnp.concatenate([rd_x, rd_s]) - zl + zu
         dl, du = dists(v)
@@ -289,7 +301,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     def kkt_error(v, lam, zl, zu, mu, theta):
         """KKT error with fresh derivative evaluation (debug/result use)."""
         x = v[:n]
-        return kkt_error_pre(grad_f(x, theta), jac_c(x, theta),
+        _, c_vjp = jax.vjp(lambda xx: c_fn(xx, theta), x)
+        return kkt_error_pre(grad_f(x, theta), c_vjp(lam)[0],
                              g_fn(v, theta), v, lam, zl, zu, mu)
 
     def compute_step(v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg):
@@ -322,7 +335,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         # K = W + J^T J / dc is positive definite under SOSC (MadNLP-style
         # "LDL-free" condensed-space KKT; see PAPERS.md).  Shrinks with mu
         # so it does not limit final accuracy.
-        dc = jnp.maximum(1e-8 * jnp.sqrt(jnp.sqrt(mu)), 1e-12)
+        dc = jnp.maximum(1e-8 * jnp.sqrt(jnp.sqrt(mu)), opt.dc_floor)
         # The condensed matrix K is only ever *factored* — every residual
         # in the refinement loop below is computed from W0/J/dc directly.
         # In mixed mode the O(nv^2 m) JtJ product and the O(nv^3)
@@ -494,6 +507,177 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                 dv_c = z.astype(v.dtype) / dK64_
             dlam_c = (J @ dv_c + rg_soc) / dc
             return dv_c, dlam_c
+
+        return dv, dlam, dzl, dzu, step_dir, dw_used, ok, corrector
+
+    kkt = derivatives.get("kkt")
+
+    def compute_step_structured(v, lam, zl, zu, mu, dw_last, theta, gf,
+                                rg, Jtlam, c_vjp):
+        """Newton step via the block-banded arrowhead KKT factorization.
+
+        Matrix-free counterpart of :func:`compute_step`: slacks are
+        eliminated analytically (per-row dual regularization
+        ``D_i = dc + 1/sigma_s_i``), the condensed system over the
+        original variables is factored in banded-arrowhead form
+        (``solver/banded.py``), and all residual algebra uses JVP/VJP
+        closures — no dense Jacobian or Hessian is ever materialized.
+        This is the ``linear_solver = "block-banded"`` path, replacing
+        the reference's MUMPS factorization
+        (``pycollo/backend.py:1695-1711``) with O(N) structure.
+        """
+        x = v[:n]
+        dl, du = dists(v)
+        sig_l = jnp.where(jnp_has_l, zl / dl, 0.0)
+        sig_u = jnp.where(jnp_has_u, zu / du, 0.0)
+        sig = sig_l + sig_u
+        mu_dl = jnp.where(jnp_has_l, mu / dl, 0.0)
+        mu_du = jnp.where(jnp_has_u, mu / du, 0.0)
+        sig_x = sig[:n]
+        sig_s = jnp.maximum(sig[n:], 1e-300)
+        rd_x = gf + Jtlam - mu_dl[:n] + mu_du[:n]
+        rd_s = (-lam[ineq_idx] - mu_dl[n:] + mu_du[n:]) if ns \
+            else jnp.zeros(0)
+        dc = jnp.maximum(1e-8 * jnp.sqrt(jnp.sqrt(mu)), opt.dc_floor)
+        # Slack elimination: constraint row i gets dual regularization
+        # D_i = dc (+ 1/sigma_s_i on inequality rows), and the modified
+        # residual g~ = rg + rd_s / sigma_s.
+        if ns:
+            Dinv_ineq = 1.0 / (dc + 1.0 / sig_s)
+            Dinv = jnp.where(eq_mask, 1.0 / dc,
+                             jnp.zeros(m).at[ineq_idx].set(Dinv_ineq))
+            gtil = rg + jnp.zeros(m).at[ineq_idx].set(rd_s / sig_s)
+        else:
+            Dinv = jnp.full(m, 1.0) / dc
+            gtil = rg
+        blocks_e, blocks_c = kkt.assemble(x, theta, lam, sig_x, Dinv)
+        rhs = -(rd_x + c_vjp(Dinv * gtil)[0])
+
+        def c_jvp(dxx):
+            return jax.jvp(lambda xx: c_fn(xx, theta), (x,), (dxx,))[1]
+
+        def solve_refine(blocks, fac, dw, rhs_v):
+            """Factored solve + primal-dual iterative refinement.
+
+            Refines (dx, dlam) against the TRUE (exact-Hessian,
+            unregularized-dual) step equations, mirroring the dense
+            path's scheme: the dual recovery ``dlam = Dinv (J dx + g~)``
+            amplifies dx roundoff by ``Dinv ~ 1/dc`` (1e10+ at small
+            mu), which un-refined destroys near-converged multipliers.
+            When the factored operator is the convexified variant
+            K~ = K + P (P the PSD clip mass), the same rounds also pull
+            the step toward the exact Newton step whenever the true K is
+            PD (iteration matrix K~^-1 P has spectrum in [0, 1)); a
+            residual-decrease guard keeps the last improving iterate so
+            an indefinite true K degrades gracefully to modified Newton.
+            """
+            dxx = kkt.solve(blocks, fac, rhs_v)
+            dlm = Dinv * (c_jvp(dxx) + gtil)
+            if "noir" in ablate:
+                return dxx, dlm
+
+            def residuals(dxx, dlm):
+                # R1: x-rows of the slack-eliminated system; the
+                # W_xx dx term is recovered from the structured matvec
+                # by subtracting its J^T Dinv J part.
+                Wdx = kkt.kmul(blocks_e, dw, dxx) \
+                    - c_vjp(Dinv * c_jvp(dxx))[0]
+                R1 = -rd_x - Wdx - c_vjp(dlm)[0]
+                # S2 = Dinv * (constraint-row residual): all terms
+                # O(dlam), no 1/dc amplification.
+                S2 = dlm - Dinv * (gtil + c_jvp(dxx))
+                return R1, S2
+
+            R1, S2 = residuals(dxx, dlm)
+            best_n = jnp.sum(R1 * R1) + jnp.sum(S2 * S2)
+            for _ in range(max(opt.ir_rounds, 2)):
+                e = kkt.solve(blocks, fac, R1 + c_vjp(S2)[0])
+                dxx_c = dxx + e
+                dlm_c = dlm + Dinv * c_jvp(e) - S2
+                R1_c, S2_c = residuals(dxx_c, dlm_c)
+                cand_n = jnp.sum(R1_c * R1_c) + jnp.sum(S2_c * S2_c)
+                improve = (cand_n < best_n) & jnp.all(jnp.isfinite(dxx_c))
+                dxx = jnp.where(improve, dxx_c, dxx)
+                dlm = jnp.where(improve, dlm_c, dlm)
+                R1 = jnp.where(improve, R1_c, R1)
+                S2 = jnp.where(improve, S2_c, S2)
+                best_n = jnp.where(improve, cand_n, best_n)
+            return dxx, dlm
+
+        # Speculative multi-level inertia correction (see the dense
+        # path's rationale): factor at several dw levels in one batched
+        # call, keep the first positive-definite level.  The LAST level
+        # swaps the exact Lagrangian Hessian for its per-node PSD
+        # projection at dw ~ 0 (modified Newton): the banded M-block
+        # must be PD — strictly stronger than the dense path's K > 0 —
+        # and on problems where M is structurally indefinite near the
+        # solution (active integral constraints), escalating dw past
+        # O(10) destroys the Newton step; the convexified level stays
+        # well-posed with an O(mu)-sized perturbation instead.
+        dw1 = jnp.maximum(opt.delta_w_min, 0.3 * dw_last)
+        dws = jnp.stack([jnp.zeros_like(dw1)]
+                        + [jnp.minimum(m_ * dw1, opt.delta_w_max)
+                           for m_ in opt.spec_levels]
+                        + [jnp.full_like(dw1, 1e-10)])
+        n_exact = 1 + len(opt.spec_levels)
+        blocks_lv = jax.tree_util.tree_map(
+            lambda e, c: jnp.stack([e] * n_exact + [c]),
+            blocks_e, blocks_c)
+        facs = jax.vmap(kkt.factor)(blocks_lv, dws)
+        lvl = jnp.argmax(facs.ok)
+        any_lvl = jnp.any(facs.ok)
+        fac_sel = jax.tree_util.tree_map(lambda a: a[lvl], facs)
+        blocks_sel = jax.tree_util.tree_map(lambda a: a[lvl], blocks_lv)
+        dw_spec = dws[lvl]
+        dx, dlam = solve_refine(blocks_sel, fac_sel, dw_spec, rhs)
+        ok0 = any_lvl & jnp.all(jnp.isfinite(dx)) \
+            & jnp.all(jnp.isfinite(dlam))
+        # Only exact-level successes feed the dw heuristic; a convexified
+        # fallback must not inflate the next iteration's start level.
+        dw_heur = jnp.where(lvl < n_exact, dw_spec, 0.0)
+
+        # Escalation fallback above the top speculative level (zero-trip
+        # when the batch is satisfied) — escalates the CONVEXIFIED
+        # blocks, which become PD at modest dw by construction.
+        def esc_cond(carry):
+            dw, _, _, ok, k, _ = carry
+            return (~ok) & (k < 30)
+
+        def esc_body(carry):
+            dw, dxc, dlc, ok, k, _ = carry
+            dw_next = jnp.minimum(
+                jnp.maximum(dw * opt.delta_w_up, opt.delta_w_min),
+                opt.delta_w_max)
+            fac = kkt.factor(blocks_c, dw_next)
+            dxn, dln = solve_refine(blocks_c, fac, dw_next, rhs)
+            okn = fac.ok & jnp.all(jnp.isfinite(dxn)) \
+                & jnp.all(jnp.isfinite(dln))
+            return (dw_next, dxn, dln, okn, k + 1, fac)
+
+        dw_used, dx, dlam, ok, _, fac_fin = jax.lax.while_loop(
+            esc_cond, esc_body,
+            (jnp.maximum(dws[n_exact - 1], 1e-8), dx, dlam, ok0,
+             jnp.asarray(1, jnp.int32), fac_sel))
+        esc_taken = ~ok0
+        dw_used = jnp.where(ok0, dw_heur, dw_used)
+        fac_fin = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok0, a, b), fac_sel, fac_fin)
+        blocks_fin = jax.tree_util.tree_map(
+            lambda s, c: jnp.where(esc_taken, c, s), blocks_sel, blocks_c)
+
+        ds = (dlam[ineq_idx] - rd_s) / sig_s if ns else jnp.zeros(0)
+        dv = jnp.concatenate([dx, ds])
+        dzl = jnp.where(jnp_has_l, mu_dl - zl - sig_l * dv, 0.0)
+        dzu = jnp.where(jnp_has_u, mu_du - zu + sig_u * dv, 0.0)
+        ok = ok & jnp.all(jnp.isfinite(dzl)) & jnp.all(jnp.isfinite(dzu))
+        step_dir = gf @ dx - jnp.sum(mu_dl * dv) + jnp.sum(mu_du * dv)
+
+        def corrector(rg_soc):
+            rhs_c = -c_vjp(Dinv * rg_soc)[0]
+            dx_c = kkt.solve(blocks_fin, fac_fin, rhs_c)
+            dlam_c = Dinv * (c_jvp(dx_c) + rg_soc)
+            ds_c = dlam_c[ineq_idx] / sig_s if ns else jnp.zeros(0)
+            return jnp.concatenate([dx_c, ds_c]), dlam_c
 
         return dv, dlam, dzl, dzu, step_dir, dw_used, ok, corrector
 
@@ -670,13 +854,25 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         # the Newton step, and the line search.
         x = v[:n]
         gf = grad_f(x, theta)
-        Jc = jnp.zeros((m, n)) if "jac0" in ablate else jac_c(x, theta)
         rg = g_fn(v, theta)
         f0 = f_fn(x, theta)
-        e_0 = kkt_error_pre(gf, Jc, rg, v, lam, zl, zu, 0.0)
-        done_now = e_0 <= opt.tol
-        dv, dlam, dzl, dzu, gf_dv, dw_used, ok, corrector = compute_step(
-            v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg)
+        if kkt is not None:
+            # Structured (block-banded) path: matrix-free — the dense
+            # Jacobian is never formed; J^T lam comes from one VJP.
+            _, c_vjp = jax.vjp(lambda xx: c_fn(xx, theta), x)
+            Jtlam = c_vjp(lam)[0]
+            e_0 = kkt_error_pre(gf, Jtlam, rg, v, lam, zl, zu, 0.0)
+            done_now = e_0 <= opt.tol
+            (dv, dlam, dzl, dzu, gf_dv, dw_used, ok,
+             corrector) = compute_step_structured(
+                v, lam, zl, zu, mu, dw_last, theta, gf, rg, Jtlam, c_vjp)
+        else:
+            Jc = jnp.zeros((m, n)) if "jac0" in ablate else jac_c(x, theta)
+            e_0 = kkt_error_pre(gf, Jc.T @ lam, rg, v, lam, zl, zu, 0.0)
+            done_now = e_0 <= opt.tol
+            (dv, dlam, dzl, dzu, gf_dv, dw_used, ok,
+             corrector) = compute_step(
+                v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg)
         bad = (~ok) | done_now
         # A totally failed factorization (even at delta_w_max) must not
         # contaminate the state: zero the direction (0 * NaN = NaN).
@@ -901,6 +1097,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     solve._body = body
     solve._init_state = init_state
     solve._compute_step = compute_step
+    solve._compute_step_structured = compute_step_structured \
+        if kkt is not None else None
     solve._kkt_error = kkt_error
     solve._merit = merit
     solve._g = g_fn

@@ -891,7 +891,19 @@ class MeshIteration:
 
     # -- scaling ---------------------------------------------------------
     def _build_scaling(self):
-        """Objective / constraint scaling (``pycollo/scaling.py:271-430``)."""
+        """Objective / constraint scaling (``pycollo/scaling.py:271-430``).
+
+        Runs entirely on the host CPU backend: this is one-time setup
+        work at the guess (a single dense Jacobian + two gradients), and
+        compiling the dense scatter-assembled Jacobian program on a TPU
+        costs minutes for zero benefit.
+        """
+        import jax
+        import jax.numpy as jnp
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._build_scaling_on_device()
+
+    def _build_scaling_on_device(self):
         import jax
         import jax.numpy as jnp
         lay = self.layout
@@ -991,6 +1003,38 @@ class MeshIteration:
         self.cu_scaled = self.W_c * self.cu
 
     # -- solve ------------------------------------------------------------
+    def build_kkt_operator(self):
+        """Scaled-space banded-arrowhead KKT operator for the IPM.
+
+        Wraps :class:`solver.block_kkt.BlockKKT` (which works on the
+        full/unscaled variable layout) with the scaled-free-space
+        interface the solver's ``compute_step_structured`` expects.
+        This is the ``linear_solver = "block-banded"`` path replacing
+        the reference's MUMPS sparse factorization
+        (``pycollo/backend.py:1695-1711``).
+        """
+        from .solver.block_kkt import BlockKKT
+        jnp = self._jnp
+        block = BlockKKT(self)
+        it = self
+
+        class _ScaledKKT:
+            def assemble(self, xs, theta, lam, sig_free, dinv_rows):
+                x_full = it.assemble_full(xs, theta)
+                eta = jnp.asarray(it.W_c) * lam
+                return block.assemble(x_full, eta, sig_free, dinv_rows)
+
+            def factor(self, blocks, dw):
+                return block.factor(blocks, dw)
+
+            def solve(self, blocks, factors, rhs):
+                return block.solve(blocks, factors, rhs)
+
+            def kmul(self, blocks, dw, dx):
+                return block.kmul(blocks, dw, dx)
+
+        return _ScaledKKT()
+
     def build_solver(self, options=None, use_structured=True):
         from .solver.ipm import IPMOptions, build_ipm_solver
         if options is None:
@@ -1000,8 +1044,12 @@ class MeshIteration:
                                  mu_min=self.settings.ipm_mu_min,
                                  line_search=self.settings.ipm_line_search,
                                  inertia=self.settings.ipm_inertia)
-        derivatives = self._build_structured_derivatives() \
-            if use_structured else None
+        if use_structured:
+            derivatives = dict(self._build_structured_derivatives())
+            if self.settings.linear_solver == "block-banded":
+                derivatives["kkt"] = self.build_kkt_operator()
+        else:
+            derivatives = None
         self._solver = build_ipm_solver(self.f_scaled, self.c_scaled,
                                         self.xs_lb, self.xs_ub,
                                         self.cl_scaled, self.cu_scaled,
