@@ -34,6 +34,12 @@ def main():
     problem = build_problem()
     problem.settings.console_out_progress = False
     problem.settings.nlp_tolerance = 1e-6   # driver metric: 1e-6 KKT
+    # Default: dense condensed Cholesky — the configuration measured to
+    # converge on the chip (block-banded compiles and runs on TPU but
+    # currently stalls at max_iter there; it is CPU-verified only, see
+    # tests/unit/test_block_kkt.py).  Override: bench.py <B> block-banded
+    problem.settings.linear_solver = (
+        sys.argv[2] if len(sys.argv) > 2 else "condensed-cholesky")
     problem.initialise()
     it = problem.backend.mesh_iterations[0]
 
@@ -43,7 +49,10 @@ def main():
 
     # Batch of perturbed initial states: q1_0 in [-0.25, 0.25],
     # q2_0 in [-0.3, 0.3] (pinned entries of theta -> per-instance).
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # Largest batch verified to run AND converge on the chip this round
+    # (B=128/512 hit a TPU runtime fault in the giant fused IPM program;
+    # B=64: converged 64/64).  Scale up as the compile-size cliff moves.
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     rng = np.random.default_rng(0)
     lay = it.layout
     pl = lay.phases[0]

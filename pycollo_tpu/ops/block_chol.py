@@ -1,0 +1,159 @@
+"""Pallas TPU kernel: batched small-block Cholesky factor + inverse.
+
+The hot inner operation of the block-tridiagonal KKT factorization
+(``solver/banded.py:btd_factor``) is, per ``lax.scan`` step, a batch of
+tiny dense Cholesky factorizations + lower-triangular inverses — one
+(MB, MB) block per problem instance, with MB ~ 10..40 and batch sizes in
+the hundreds (the MPC-style batched-solve workload, plus the speculative
+inertia levels).  XLA lowers ``jnp.linalg.cholesky`` on TPU through a
+generic blocked algorithm built for *large* matrices; for tiny blocks the
+per-matrix launch/layout overhead dominates and the MXU/VPU sit idle.
+
+This kernel takes the opposite layout: the *batch* rides the TPU lane
+axis (128-wide vectors) and the factorization recurrence is fully
+unrolled over the (static, tiny) block dimension, so every FLOP is an
+elementwise VPU op over 128..512 instances at once — the standard
+lane-vectorized tiny-linalg pattern.  One kernel produces ``L^{-1}``
+directly (the banded solver wants the inverse factor so that every
+subsequent banded solve is a plain matmul, ``solver/banded.py:49-56``).
+
+Precision: TPU Pallas has no f64, so the kernel computes in f32.  It is
+the building block of the interior-point solver's
+``kkt_precision="mixed"`` path (f32 factorization + f64 iterative
+refinement, ``solver/ipm.py:121-131``); the default f64 path keeps using
+the XLA primitives.  Correctness is certified the same way as the f64
+path: a non-PD input yields NaN/non-positive diagonal entries which the
+caller's ``ok`` reduction detects (``solver/banded.py:99-103``).
+
+Reference parity anchor: this replaces the role of MUMPS' dense frontal
+kernels inside IPOPT (``/root/reference/pycollo/backend.py:1695-1711``).
+
+Measured on TPU v5 lite (1 chip), batch of 4096 SPD blocks, f32,
+median of 5 samples of 20 amortized async calls
+(``python -m pycollo_tpu.ops.bench_chol``, 2026-08-20):
+
+==========  ============  =================  ========
+block n     pallas (ms)   XLA chol+inv (ms)  speedup
+==========  ============  =================  ========
+8           1.355         4.694              3.5x
+16          1.308         8.253              6.3x
+24          1.411         12.023             8.5x
+32          1.265         16.259             12.9x
+==========  ============  =================  ========
+
+The kernel is latency/DMA-bound (flat across n) while the XLA path
+scales with the blocked algorithm's sequential depth.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+#: batch tile width (lane-axis); multiples of 128
+_BLOCK_B = 512
+
+#: largest supported block size (unrolled recurrence; compile size grows
+#: as n^3/6 vector ops)
+MAX_BLOCK_N = 48
+
+
+def _chol_inv_kernel(a_ref, out_ref, *, n: int):
+    """Unrolled Crout Cholesky + forward-substitution inverse.
+
+    ``a_ref``/``out_ref``: (n*n, BT) — entry (i, j) of every instance's
+    matrix lives in row ``i*n + j``; the BT batch instances ride the
+    lane axis so each recurrence step is one elementwise vector op.
+    """
+    L = [[None] * n for _ in range(n)]
+    Dinv = [None] * n
+    for j in range(n):
+        s = a_ref[j * n + j, :]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        dinv = 1.0 / d
+        Dinv[j] = dinv
+        for i in range(j + 1, n):
+            s = a_ref[i * n + j, :]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * dinv
+
+    # Invert L by forward substitution, column by column.
+    zero = jnp.zeros_like(Dinv[0])
+    for j in range(n):
+        col = [None] * n
+        col[j] = Dinv[j]
+        out_ref[j * n + j, :] = Dinv[j]
+        for i in range(j + 1, n):
+            s = L[i][j] * col[j]
+            for k in range(j + 1, i):
+                s = s + L[i][k] * col[k]
+            col[i] = -s * Dinv[i]
+            out_ref[i * n + j, :] = col[i]
+        for i in range(j):
+            out_ref[i * n + j, :] = zero
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def batched_chol_inv(A, interpret: bool | None = None):
+    """``L^{-1}`` of the Cholesky factors of a stack of SPD matrices.
+
+    ``A``: (B, n, n) symmetric positive definite (any float dtype; the
+    kernel computes in f32).  Returns (B, n, n) f32 lower-triangular
+    ``L^{-1}`` with ``A = L L^T``.  Non-PD instances produce NaN entries
+    (detectable by the caller, never silently wrong).
+
+    ``interpret``: force the Pallas interpreter (for CPU tests); by
+    default the interpreter is used automatically off-TPU.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, n2_ = A.shape
+    assert n == n2_ and n <= MAX_BLOCK_N, (n, n2_)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n2 = n * n
+    bt = min(_BLOCK_B, max(128, ((B + 127) // 128) * 128))
+    pad = (-B) % bt
+    A32 = A.astype(jnp.float32)
+    if pad:
+        # Pad with identity blocks: keeps every lane on the PD fast
+        # path (zero blocks would produce NaNs; harmless but messy in
+        # debug dumps).
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32),
+                               (pad, n, n))
+        A32 = jnp.concatenate([A32, eye], axis=0)
+    Bp = B + pad
+    # (B, n, n) -> (n*n, B): batch on the lane axis.
+    Af = jnp.transpose(A32.reshape(Bp, n2), (1, 0))
+
+    # The package enables x64 globally; Mosaic cannot legalize the i64
+    # grid-index types that produces, and the kernel is all-f32 anyway.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_chol_inv_kernel, n=n),
+            grid=(Bp // bt,),
+            in_specs=[pl.BlockSpec((n2, bt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n2, bt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n2, Bp), jnp.float32),
+            interpret=interpret,
+        )(Af)
+    return jnp.transpose(out, (1, 0)).reshape(Bp, n, n)[:B]
+
+
+def chol_inv_reference(A):
+    """XLA reference: ``L^{-1}`` via cholesky + triangular solve (f32)."""
+    A32 = A.astype(jnp.float32)
+    L = jnp.linalg.cholesky(A32)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=jnp.float32),
+                           A32.shape)
+    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
