@@ -90,6 +90,20 @@ class IPMOptions:
     #: O(dc)-limited — sized to the 1e-6 benchmark tolerance, not the
     #: 1e-10 oracle tolerance.
     dc_floor: float = 1e-12
+    #: dual-regularization floor for the block-banded path.  Its
+    #: Woodbury split factors K = M + G diag(1/D) G^T with the low-rank
+    #: integral columns amplified by 1/D ~ 1/dc; with the dense path's
+    #: negligible 1e-12 floor that term dominates M by ~1e12 at small mu
+    #: and the factorization loses the Newton step entirely (measured on
+    #: cart-pole: converges to 1e-4, then diverges to KKT ~4e4).  The
+    #: floor must sit BELOW the convergence tolerance (the reachable KKT
+    #: residual is O(dc)-limited: a 1e-6 floor left 5/8 perturbed
+    #: cart-pole instances stalled at the 1e-6 tolerance, and 1e-5+
+    #: converged none) but high enough to cap the amplification; 3e-7
+    #: converges 8/8 in a dense-path-matching 13 iterations, with the
+    #: primal-dual iterative refinement in ``solve_refine`` recovering
+    #: the accuracy the regularization gives up.
+    dc_floor_banded: float = 3e-7
     #: feasibility restoration (IPOPT section 3.3 analogue): when the
     #: filter line search exhausts with significant constraint
     #: violation, switch to minimizing the violation itself — the same
@@ -557,7 +571,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         rd_x = gf + Jtlam - mu_dl[:n] + mu_du[:n]
         rd_s = (-lam[ineq_idx] - mu_dl[n:] + mu_du[n:]) if ns \
             else jnp.zeros(0)
-        dc = jnp.maximum(1e-8 * jnp.sqrt(jnp.sqrt(mu)), opt.dc_floor)
+        dc = jnp.maximum(1e-8 * jnp.sqrt(jnp.sqrt(mu)),
+                         jnp.maximum(opt.dc_floor, opt.dc_floor_banded))
         # Slack elimination: constraint row i gets dual regularization
         # D_i = dc (+ 1/sigma_s_i on inequality rows), and the modified
         # residual g~ = rg + rd_s / sigma_s.
