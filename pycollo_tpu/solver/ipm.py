@@ -113,6 +113,25 @@ class IPMOptions:
     #: the bare smallest-theta fallback trial.
     restoration: bool = True
     kappa_resto: float = 0.1
+    #: restoration guard rails (round-4 regression fix: on the space
+    #: station first-mesh NLP the round-3 restoration phase entered at
+    #: theta ~ 2e-2 and then decreased theta by only ~5e-5 per iteration
+    #: — the kappa_resto exit was unreachable and the solver burned all
+    #: remaining iterations inside restoration; without restoration the
+    #: same NLP converges in 129 iterations).  Three guards:
+    #: enter only after ``resto_entry_fails`` CONSECUTIVE line-search
+    #: failures (a one-off rejected step is normal filter behavior, not
+    #: infeasibility); abort restoration after ``resto_stall_patience``
+    #: consecutive iterations with relative theta decrease below
+    #: ``resto_min_decrease`` (hand the iterate back to the main phase
+    #: with a fresh filter); and never enter more than
+    #: ``resto_max_entries`` times per solve (beyond that the main
+    #: phase's smallest-theta fallback trial takes over, the pre-round-3
+    #: behavior that converged on every oracle problem).
+    resto_entry_fails: int = 2
+    resto_stall_patience: int = 5
+    resto_min_decrease: float = 1e-3
+    resto_max_entries: int = 3
     #: inertia correction scheme: "speculative" factors the condensed
     #: matrix at several regularization levels in ONE batched call and
     #: selects the first positive-definite level per instance (no
@@ -189,6 +208,11 @@ class _State(NamedTuple):
     #: feasibility-restoration mode flag + the violation at entry
     rmode: jnp.ndarray
     th_enter: jnp.ndarray
+    #: consecutive line-search-failure count (restoration entry gate),
+    #: consecutive restoration-stall count, and total entry count
+    ls_fail: jnp.ndarray
+    r_stall: jnp.ndarray
+    r_ent: jnp.ndarray
 
 
 def _interior_init(x0, xl, xu, k1, k2):
@@ -1034,15 +1058,32 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             > jnp.log(5.0)
         fcnt_n = jnp.where(reset, jnp.asarray(1, fcnt_n.dtype), fcnt_n)
         mu_f_n = jnp.where(reset, mu_n, state.mu_f)
-        # Restoration mode transitions: enter on line-search exhaustion
-        # with significant violation; exit once the violation dropped by
-        # kappa_resto (filter restarts — the region changed).
+        # Restoration mode transitions: enter after consecutive
+        # line-search exhaustions with significant violation (bounded by
+        # an entry budget); exit once the violation dropped by
+        # kappa_resto (filter restarts — the region changed) OR when
+        # restoration itself stalls (theta decreasing below
+        # resto_min_decrease relative for resto_stall_patience straight
+        # iterations — measured on the space-station NLP: a restoration
+        # phase that crawls at 5e-5 relative decrease per iteration
+        # never reaches the kappa_resto exit and eats the whole budget).
         if opt.restoration:
             th_new = jnp.sum(jnp.abs(g_fn(v_n, theta)))
-            exit_r = th_new <= jnp.maximum(
-                state.th_min, opt.kappa_resto * state.th_enter)
-            enter_r = (~restore) & (~ls_ok) & (th0 > state.th_min) \
-                & (~bad)
+            stall = restore \
+                & (th_new > (1.0 - opt.resto_min_decrease) * th0)
+            r_stall_n = jnp.where(stall, state.r_stall + 1,
+                                  jnp.asarray(0, jnp.int32))
+            exit_stall = r_stall_n >= opt.resto_stall_patience
+            exit_r = (th_new <= jnp.maximum(
+                state.th_min, opt.kappa_resto * state.th_enter)) \
+                | exit_stall
+            ls_fail_n = jnp.where((~restore) & (~ls_ok) & (~bad),
+                                  state.ls_fail + 1,
+                                  jnp.asarray(0, jnp.int32))
+            enter_r = (~restore) & (th0 > state.th_min) & (~bad) \
+                & (ls_fail_n >= opt.resto_entry_fails) \
+                & (state.r_ent < opt.resto_max_entries)
+            r_ent_n = state.r_ent + jnp.asarray(enter_r, jnp.int32)
             rmode_n = jnp.where(restore, ~exit_r, enter_r)
             th_enter_n = jnp.where(enter_r, th0, state.th_enter)
             fcnt_n = jnp.where(restore & exit_r,
@@ -1058,10 +1099,14 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         else:
             rmode_n = state.rmode
             th_enter_n = state.th_enter
+            ls_fail_n = state.ls_fail
+            r_stall_n = state.r_stall
+            r_ent_n = state.r_ent
         return _State(v_n, lam_n, zl_n, zu_n, mu_n, nu_new, dw_used,
                       dw_last_n, it + 1, e_0, done_now,
                       fth_n, fph_n, fcnt_n, state.th_min, state.th_max,
-                      mu_f_n, rmode_n, th_enter_n)
+                      mu_f_n, rmode_n, th_enter_n,
+                      ls_fail_n, r_stall_n, r_ent_n)
 
     def init_state(x0, theta, lam0=None, zl0=None, zu0=None, mu0=None):
         """Initial IPM state; optionally warm-started with multipliers.
@@ -1121,7 +1166,10 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                       jnp.asarray(False),
                       fth0, fph0, jnp.asarray(1, jnp.int32),
                       th_min, th_max, mu0,
-                      jnp.asarray(False), jnp.asarray(0.0, v0.dtype))
+                      jnp.asarray(False), jnp.asarray(0.0, v0.dtype),
+                      jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32))
 
     def _run(state0, theta):
         def cond(state):

@@ -39,6 +39,10 @@ from pycollo_tpu.parallel import multihost
 pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
+# The reference (single-process) worker must solve the SAME global
+# problem set as the distributed run: target math uses nproc_targets
+# (the distributed process count) even when this worker runs alone.
+nproc_targets = int(sys.argv[4]) if len(sys.argv) > 4 else nproc
 multihost.initialize(f"127.0.0.1:{port}", nproc, pid)
 assert jax.process_count() == nproc
 
@@ -74,7 +78,7 @@ B_local = 2
 lay = it.layout
 pl = lay.phases[0]
 xF_idx = pl.y_off + pl.N - 1          # x(tF), pinned to 2.0
-global_targets = np.linspace(1.8, 2.2, B_local * nproc)
+global_targets = np.linspace(1.8, 2.2, B_local * nproc_targets)
 theta_local = np.tile(it.theta_default, (B_local, 1))
 theta_local[:, xF_idx] = global_targets[pid*B_local:(pid+1)*B_local]
 
@@ -147,7 +151,7 @@ def test_two_process_distributed_solve():
     ref_code = ref_code.replace(
         'multihost.initialize(f"127.0.0.1:{port}", nproc, pid)', "pass")
     ref = subprocess.run(
-        [sys.executable, "-c", ref_code, "0", "1", str(port)],
+        [sys.executable, "-c", ref_code, "0", "1", str(port), str(nproc)],
         capture_output=True, text=True, timeout=900, env=ref_env,
         cwd=str(REPO))
     assert ref.returncode == 0, ref.stderr[-3000:]
