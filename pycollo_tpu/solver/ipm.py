@@ -161,6 +161,16 @@ class IPMOptions:
     kkt_precision: str = "f64"
     #: rounds of mixed-precision iterative refinement per KKT solve
     ir_rounds: int = 2
+    #: Krylov iterations for the structured (block-banded) step solve.
+    #: The banded arrowhead factorization's nested Schur layers cancel
+    #: catastrophically in a few border/low-rank directions near a
+    #: solution (measured iteration-matrix spectral radius ~150 —
+    #: plain iterative refinement DIVERGES there), so the structured
+    #: path solves the condensed system by GMRES with the factorization
+    #: as right preconditioner: the handful of bad directions contract
+    #: in as many iterations and the step reaches f64 accuracy, which
+    #: keeps the 1/dc-amplified dual recovery clean.
+    gmres_iters: int = 10
     #: comma-separated trace-time ablation tags for performance bisection
     #: (debug only): "hess1" H:=I, "nofactor" diagonal KKT solve,
     #: "noesc" single factorization attempt (no inertia loop),
@@ -213,6 +223,17 @@ class _State(NamedTuple):
     ls_fail: jnp.ndarray
     r_stall: jnp.ndarray
     r_ent: jnp.ndarray
+    #: best-KKT-error safeguard: the iterate with the smallest scaled
+    #: KKT error seen so far (returned instead of the last iterate —
+    #: near-converged iterates can be DESTROYED by one late noise-
+    #: amplified step that the filter accepts at tiny theta; measured
+    #: on the banded cart-pole batch: e0 reaches 2e-5, then one bad
+    #: multiplier update cascades to 4e4)
+    be0: jnp.ndarray
+    bv: jnp.ndarray
+    blam: jnp.ndarray
+    bzl: jnp.ndarray
+    bzu: jnp.ndarray
 
 
 def _interior_init(x0, xl, xu, k1, k2):
@@ -620,51 +641,31 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             return jax.jvp(lambda xx: c_fn(xx, theta), (x,), (dxx,))[1]
 
         def solve_refine(blocks, fac, dw, rhs_v):
-            """Factored solve + primal-dual iterative refinement.
+            """Krylov-accurate step solve on the selected KKT variant.
 
-            Refines (dx, dlam) against the TRUE (exact-Hessian,
-            unregularized-dual) step equations, mirroring the dense
-            path's scheme: the dual recovery ``dlam = Dinv (J dx + g~)``
-            amplifies dx roundoff by ``Dinv ~ 1/dc`` (1e10+ at small
-            mu), which un-refined destroys near-converged multipliers.
-            When the factored operator is the convexified variant
-            K~ = K + P (P the PSD clip mass), the same rounds also pull
-            the step toward the exact Newton step whenever the true K is
-            PD (iteration matrix K~^-1 P has spectrum in [0, 1)); a
-            residual-decrease guard keeps the last improving iterate so
-            an indefinite true K degrades gracefully to modified Newton.
+            The factored banded operator is only a PRECONDITIONER: its
+            nested Schur layers cancel catastrophically in a few
+            border/low-rank directions near a solution (measured
+            iteration-matrix spectral radius ~150 at a near-converged
+            cart-pole iterate — plain iterative refinement diverges),
+            while the assembled matvec ``kkt.kmul`` is exact to 1e-15
+            against the dense condensed matrix.  GMRES with the exact
+            matvec and the factored solve as right preconditioner
+            contracts the outlier directions in a handful of iterations
+            and delivers an f64-grade dx, which keeps the
+            ``Dinv ~ 1/dc``-amplified dual recovery
+            ``dlam = Dinv (J dx + g~)`` clean (1e-2-scale multiplier
+            noise otherwise destroys near-converged iterates).
             """
-            dxx = kkt.solve(blocks, fac, rhs_v)
-            dlm = Dinv * (c_jvp(dxx) + gtil)
             if "noir" in ablate:
-                return dxx, dlm
-
-            def residuals(dxx, dlm):
-                # R1: x-rows of the slack-eliminated system; the
-                # W_xx dx term is recovered from the structured matvec
-                # by subtracting its J^T Dinv J part.
-                Wdx = kkt.kmul(blocks_e, dw, dxx) \
-                    - c_vjp(Dinv * c_jvp(dxx))[0]
-                R1 = -rd_x - Wdx - c_vjp(dlm)[0]
-                # S2 = Dinv * (constraint-row residual): all terms
-                # O(dlam), no 1/dc amplification.
-                S2 = dlm - Dinv * (gtil + c_jvp(dxx))
-                return R1, S2
-
-            R1, S2 = residuals(dxx, dlm)
-            best_n = jnp.sum(R1 * R1) + jnp.sum(S2 * S2)
-            for _ in range(max(opt.ir_rounds, 2)):
-                e = kkt.solve(blocks, fac, R1 + c_vjp(S2)[0])
-                dxx_c = dxx + e
-                dlm_c = dlm + Dinv * c_jvp(e) - S2
-                R1_c, S2_c = residuals(dxx_c, dlm_c)
-                cand_n = jnp.sum(R1_c * R1_c) + jnp.sum(S2_c * S2_c)
-                improve = (cand_n < best_n) & jnp.all(jnp.isfinite(dxx_c))
-                dxx = jnp.where(improve, dxx_c, dxx)
-                dlm = jnp.where(improve, dlm_c, dlm)
-                R1 = jnp.where(improve, R1_c, R1)
-                S2 = jnp.where(improve, S2_c, S2)
-                best_n = jnp.where(improve, cand_n, best_n)
+                dxx = kkt.solve(blocks, fac, rhs_v)
+            else:
+                from .krylov import gmres_right
+                dxx = gmres_right(
+                    lambda z: kkt.kmul(blocks, dw, z),
+                    lambda r: kkt.solve(blocks, fac, r),
+                    rhs_v, opt.gmres_iters)
+            dlm = Dinv * (c_jvp(dxx) + gtil)
             return dxx, dlm
 
         # Speculative multi-level inertia correction (see the dense
@@ -737,7 +738,18 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
 
         def corrector(rg_soc):
             rhs_c = -c_vjp(Dinv * rg_soc)[0]
-            dx_c = kkt.solve(blocks_fin, fac_fin, rhs_c)
+            # Same Krylov treatment as the main step: a raw factored
+            # solve can be off by orders of magnitude in the border
+            # directions, and a garbage SOC candidate passes the
+            # filter's phi test at tiny theta just like a garbage step.
+            if "noir" in ablate:
+                dx_c = kkt.solve(blocks_fin, fac_fin, rhs_c)
+            else:
+                from .krylov import gmres_right
+                dx_c = gmres_right(
+                    lambda z: kkt.kmul(blocks_fin, dw_used, z),
+                    lambda r: kkt.solve(blocks_fin, fac_fin, r),
+                    rhs_c, max(4, opt.gmres_iters // 2))
             dlam_c = Dinv * (c_jvp(dx_c) + rg_soc)
             ds_c = dlam_c[ineq_idx] / sig_s if ns else jnp.zeros(0)
             return jnp.concatenate([dx_c, ds_c]), dlam_c
@@ -909,6 +921,16 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         fcnt_n = jnp.where(augment, jnp.minimum(fcnt + 1, FSZ), fcnt)
         return dv_eff, dlam_eff, alpha_rep, ls_ok, fth_n, fph_n, fcnt_n
 
+    def _stop_rule(e_0, be0):
+        """Converged, or the tail has exploded beyond recovery.
+
+        The divergence test only fires once a near-solution iterate was
+        seen (be0 small) and the current error is orders of magnitude
+        above it — the tail-explosion signature, not the normal early-
+        phase KKT-error fluctuation."""
+        diverged = (be0 <= 1e-4) & (e_0 >= 1e4 * be0) & (e_0 > opt.tol)
+        return (e_0 <= opt.tol) | diverged
+
     def body(state: _State, theta):
         v, lam, zl, zu, mu, nu = (state.v, state.lam, state.zl, state.zu,
                                   state.mu, state.nu)
@@ -927,7 +949,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             _, c_vjp = jax.vjp(lambda xx: c_fn(xx, theta), x)
             Jtlam = c_vjp(lam)[0]
             e_0 = kkt_error_pre(gf, Jtlam, rg, v, lam, zl, zu, 0.0)
-            done_now = e_0 <= opt.tol
+            done_now = _stop_rule(e_0, state.be0)
             (dv, dlam, dzl, dzu, gf_dv, dw_used, ok,
              corrector) = compute_step_structured(
                 v, lam, zl, zu, mu, dw_last, theta, gf_eff, rg, Jtlam,
@@ -935,11 +957,19 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         else:
             Jc = jnp.zeros((m, n)) if "jac0" in ablate else jac_c(x, theta)
             e_0 = kkt_error_pre(gf, Jc.T @ lam, rg, v, lam, zl, zu, 0.0)
-            done_now = e_0 <= opt.tol
+            done_now = _stop_rule(e_0, state.be0)
             (dv, dlam, dzl, dzu, gf_dv, dw_used, ok,
              corrector) = compute_step(
                 v, lam, zl, zu, mu, dw_last, theta, gf_eff, Jc, rg,
                 restore)
+        # Best-iterate tracking: e_0 is the error of the INCOMING
+        # iterate, so record it (and the iterate) before stepping.
+        better = e_0 < state.be0
+        be0_n = jnp.where(better, e_0, state.be0)
+        bv_n = jnp.where(better, v, state.bv)
+        blam_n = jnp.where(better, lam, state.blam)
+        bzl_n = jnp.where(better, zl, state.bzl)
+        bzu_n = jnp.where(better, zu, state.bzu)
         bad = (~ok) | done_now
         # A totally failed factorization (even at delta_w_max) must not
         # contaminate the state: zero the direction (0 * NaN = NaN).
@@ -1106,7 +1136,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                       dw_last_n, it + 1, e_0, done_now,
                       fth_n, fph_n, fcnt_n, state.th_min, state.th_max,
                       mu_f_n, rmode_n, th_enter_n,
-                      ls_fail_n, r_stall_n, r_ent_n)
+                      ls_fail_n, r_stall_n, r_ent_n,
+                      be0_n, bv_n, blam_n, bzl_n, bzu_n)
 
     def init_state(x0, theta, lam0=None, zl0=None, zu0=None, mu0=None):
         """Initial IPM state; optionally warm-started with multipliers.
@@ -1169,20 +1200,35 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                       jnp.asarray(False), jnp.asarray(0.0, v0.dtype),
                       jnp.asarray(0, jnp.int32),
                       jnp.asarray(0, jnp.int32),
-                      jnp.asarray(0, jnp.int32))
+                      jnp.asarray(0, jnp.int32),
+                      jnp.asarray(jnp.inf, v0.dtype),
+                      v0, lam_init, zl_init, zu_init)
 
     def _run(state0, theta):
         def cond(state):
             return (~state.done) & (state.it < opt.max_iter)
 
         final = jax.lax.while_loop(cond, lambda s: body(s, theta), state0)
-        x = final.v[:n]
-        slack = final.v[n:]
-        return IPMResult(x=x, slack=slack, lam=final.lam,
-                         zl=final.zl, zu=final.zu,
-                         f=f_fn(x, theta), kkt_error=final.e0,
+        # Return the best-KKT iterate seen, not the last, when a near-
+        # solution iterate was reached: a late noise-amplified step can
+        # destroy a near-converged iterate (see the _State.be0 note).
+        # Outside that regime (be0 still large — e.g. locally infeasible
+        # problems) the LAST iterate is the meaningful output: the
+        # restoration phase's minimal-violation point, not whichever
+        # early iterate happened to have the smallest scaled KKT error.
+        use_best = final.be0 <= jnp.maximum(opt.tol, 1e-4)
+        v_out = jnp.where(use_best, final.bv, final.v)
+        lam_out = jnp.where(use_best, final.blam, final.lam)
+        zl_out = jnp.where(use_best, final.bzl, final.zl)
+        zu_out = jnp.where(use_best, final.bzu, final.zu)
+        e_out = jnp.where(use_best, final.be0, final.e0)
+        x = v_out[:n]
+        slack = v_out[n:]
+        return IPMResult(x=x, slack=slack, lam=lam_out,
+                         zl=zl_out, zu=zu_out,
+                         f=f_fn(x, theta), kkt_error=e_out,
                          mu=final.mu, iterations=final.it,
-                         converged=final.done)
+                         converged=final.be0 <= opt.tol)
 
     def solve(x0, theta):
         return _run(init_state(x0, theta), theta)
