@@ -1208,7 +1208,18 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         def cond(state):
             return (~state.done) & (state.it < opt.max_iter)
 
-        final = jax.lax.while_loop(cond, lambda s: body(s, theta), state0)
+        import contextlib
+        # Mixed mode: force full-f32 matmul accumulation.  On TPU, f32
+        # matmuls default to ONE bf16 MXU pass (~8 mantissa bits) —
+        # the f32 factorization of the 1/dc-conditioned condensed
+        # matrix is garbage at that precision (measured: 0/64 batch
+        # convergence on-chip vs 16/16 on CPU).  "highest" runs the
+        # 6-pass bf16 decomposition: exact f32, still MXU-rate.
+        ctx = jax.default_matmul_precision("highest") if mixed \
+            else contextlib.nullcontext()
+        with ctx:
+            final = jax.lax.while_loop(cond, lambda s: body(s, theta),
+                                       state0)
         # Return the best-KKT iterate seen, not the last, when a near-
         # solution iterate was reached: a late noise-amplified step can
         # destroy a near-converged iterate (see the _State.be0 note).
