@@ -143,8 +143,25 @@ class IPMOptions:
     #: start value 0.3*dw_last (level 0 is always dw = 0); instances not
     #: positive definite at any level fall back to an escalation loop
     #: that starts above the top level — with an all-satisfied batch that
-    #: loop's condition is false at entry and it costs nothing
-    spec_levels: tuple = (1.0, 8.0, 64.0)
+    #: loop's condition is false at entry and it costs nothing.
+    #: The ladder is deliberately WIDE (geometric, ratio 32, spanning
+    #: six orders of magnitude): early iterations routinely need dw far
+    #: above the 0.3*dw_last heuristic, and under vmap every escalation
+    #: trip refactors the WHOLE batch — profiled at 139 ms/iteration on
+    #: the round-4 bench, the single largest line item.  Extra ladder
+    #: rungs are one more slice of the same batched f32 factorization
+    #: (~0.2 ms) — strictly cheaper than one escalation trip.
+    spec_levels: tuple = (1.0, 32.0, 1024.0, 32768.0, 1048576.0)
+    #: dense path only: append a delta_w_max capstone level to the
+    #: speculative stack so some level always factors and the
+    #: escalation while-loop becomes a true zero-trip fallback.
+    #: Disabled by default: a capstone-selected ~zero step short-
+    #: circuits the escalation search and measurably hurts batch
+    #: convergence (47% with the narrow (1, 8, 64) ladder, 78% even
+    #: with the wide one, vs 100% with the escalation loop); with the
+    #: wide default ladder the escalation loop is rare enough that its
+    #: batched refactor cost no longer shows up in the profile.
+    spec_capstone: bool = False
     #: bound-multiplier safeguard (IPOPT's kappa_Sigma)
     kappa_sigma: float = 1e10
     #: interior projection margins for the initial point
@@ -161,6 +178,21 @@ class IPMOptions:
     kkt_precision: str = "f64"
     #: rounds of mixed-precision iterative refinement per KKT solve
     ir_rounds: int = 2
+    #: dense-path step refinement: "ir" refines against the REGULARIZED
+    #: KKT system (the classic scheme; reachable KKT residual is then
+    #: O(dc * |lam|) because the converged step solves the dc-relaxed
+    #: equalities); "gmres" runs right-preconditioned GMRES on the
+    #: UNREGULARIZED 2x2 KKT system with the factored condensed matrix
+    #: as the preconditioner — the same cure the structured path uses —
+    #: which removes the dc accuracy wall entirely and therefore lets
+    #: the mixed path run a LARGE dual regularization (dc_floor ~ 1e-6,
+    #: condition number of the f32-factored matrix capped at ~1/dc)
+    #: without stalling above tolerance (measured: perturbed cart-pole
+    #: instance stalls at 4.4e-6 with "ir" at dc_floor=1e-7; converges
+    #: below 1e-6 with "gmres").  "auto" = gmres when mixed, ir for f64.
+    dense_refine: str = "auto"
+    #: GMRES iterations for the dense-path coupled-KKT refinement
+    dense_gmres_iters: int = 6
     #: Krylov iterations for the structured (block-banded) step solve.
     #: The banded arrowhead factorization's nested Schur layers cancel
     #: catastrophically in a few border/low-rank directions near a
@@ -298,6 +330,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     spd_factor, spd_solve, spd_diag = make_spd_solver(n + ns)
     mixed = opt.kkt_precision == "mixed"
     fac_dtype = jnp.float32 if mixed else None
+    use_gmres_dense = (opt.dense_refine == "gmres"
+                       or (opt.dense_refine == "auto" and mixed))
     ablate = frozenset(t for t in opt.debug_ablate.split(",") if t)
 
     derivatives = derivatives or {}
@@ -421,21 +455,22 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         # matmul; emulation costs ~25x), while step accuracy is restored
         # by f64 iterative refinement.
         if mixed:
-            J_f = J.astype(fac_dtype)
-            JtJ_f = J_f.T @ J_f
-            W0_f = W0.astype(fac_dtype)
+            J_fc = J.astype(fac_dtype)
+            JtJ_f = J_fc.T @ J_fc
+            W0_fc = W0.astype(fac_dtype)
             eye_f = jnp.eye(nv, dtype=fac_dtype)
             piv_floor = 1e-16
         else:
+            J_fc = J
             JtJ_f = J.T @ J
-            W0_f = W0
+            W0_fc = W0
             eye_f = eye_nv
             piv_floor = 1e-100
         if "nojtj" in ablate:
             JtJ_f = jnp.zeros_like(JtJ_f)
 
         # Base condensed matrix (dw = 0); regularized variants add dw*I.
-        K0_f = W0_f + JtJ_f / dc.astype(JtJ_f.dtype)
+        K0_f = W0_fc + JtJ_f / dc.astype(JtJ_f.dtype)
 
         def equil_factor(Kmat):
             """Jacobi-equilibrated Cholesky of one or a stack of K's.
@@ -467,7 +502,15 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             return factors_, dK, lvl_ok
 
         def solve_with(factors_, dK64, dw):
-            """KKT solve + f64 iterative refinement on given factors."""
+            """KKT solve + f64 refinement on given factors.
+
+            Two refinement schemes (``opt.dense_refine``): classic IR
+            against the dc-regularized system, or right-preconditioned
+            GMRES on the UNREGULARIZED coupled KKT system — exact f64
+            matvecs, factored-condensed preconditioner — which removes
+            the O(dc*|lam|) accuracy wall of the regularized solve (the
+            dense-path analogue of the structured path's
+            ``solve_refine``)."""
             def ksolve(rhs):
                 if "nofactor" in ablate:
                     return rhs / (dK64 * dK64)
@@ -475,18 +518,57 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                     fac_dtype or v.dtype))
                 return z.astype(v.dtype) / dK64
 
-            rhs1 = -(rd + J.T @ (rg / dc))
-            dv = ksolve(rhs1)
-            dlam = (J @ dv + rg) / dc
-            # Iterative refinement on the *unregularized* KKT residual
-            # (always f64) cleans up both the 1/dc amplification of
-            # roundoff and, in mixed mode, the f32 factorization error.
-            for _ in range(0 if "noir" in ablate else opt.ir_rounds):
-                res1 = -rd - (W0 @ dv + dw * dv + J.T @ dlam)
-                res2 = -rg - (J @ dv - dc * dlam)
-                ev = ksolve(res1 + J.T @ (res2 / dc))
-                dv = dv + ev
-                dlam = dlam + (J @ ev - res2) / dc
+            if use_gmres_dense and "noir" not in ablate:
+                # Coupled-KKT GMRES entirely in the factorization dtype
+                # (f32 in mixed mode): the refinement only needs accuracy
+                # RELATIVE to the step (inexact-Newton forcing term ~
+                # 1e-6), while the f64-evaluated rhs (rd, rg) pins the
+                # outer fixed point exactly — so none of the ~30 matvecs
+                # per step needs emulated f64 (measured: an all-f64
+                # coupled GMRES tripled the per-iteration cost on TPU).
+                from .krylov import gmres_right
+                fdt = fac_dtype or v.dtype
+                dK_f = dK64.astype(fdt)
+                dc_f = dc.astype(fdt)
+                dw_f = dw.astype(fdt)
+
+                def ksolve_f(rhs):
+                    if "nofactor" in ablate:
+                        return rhs / (dK_f * dK_f)
+                    return spd_solve(factors_, rhs / dK_f) / dK_f
+
+                def prec(r):
+                    r1 = r[:nv]
+                    r2 = r[nv:]
+                    dv_ = ksolve_f(r1 + J_fc.T @ (r2 / dc_f))
+                    return jnp.concatenate(
+                        [dv_, (J_fc @ dv_ - r2) / dc_f])
+
+                def amul(wv):
+                    dv_ = wv[:nv]
+                    dl_ = wv[nv:]
+                    return jnp.concatenate(
+                        [W0_fc @ dv_ + dw_f * dv_ + J_fc.T @ dl_,
+                         J_fc @ dv_])
+
+                rhs_f = jnp.concatenate([-rd, -rg]).astype(fdt)
+                sol = gmres_right(amul, prec, rhs_f,
+                                  opt.dense_gmres_iters)
+                dv = sol[:nv].astype(v.dtype)
+                dlam = sol[nv:].astype(v.dtype)
+            else:
+                rhs1 = -(rd + J.T @ (rg / dc))
+                dv = ksolve(rhs1)
+                dlam = (J @ dv + rg) / dc
+                # Iterative refinement on the regularized KKT residual
+                # (always f64) cleans up the 1/dc amplification of
+                # roundoff and, in mixed mode, f32 factorization error.
+                for _ in range(0 if "noir" in ablate else opt.ir_rounds):
+                    res1 = -rd - (W0 @ dv + dw * dv + J.T @ dlam)
+                    res2 = -rg - (J @ dv - dc * dlam)
+                    ev = ksolve(res1 + J.T @ (res2 / dc))
+                    dv = dv + ev
+                    dlam = dlam + (J @ ev - res2) / dc
             solved_ok = ~(jnp.any(jnp.isnan(dv)) | jnp.any(jnp.isinf(dv))
                           | jnp.any(jnp.isnan(dlam)))
             return dv, dlam, solved_ok
@@ -519,6 +601,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         if "noesc" in ablate:
             dw_used = jnp.asarray(0.0, v.dtype)
             dv, dlam, ok, factors = attempt(dw_used)
+            dw_op = dw_used
         elif opt.inertia == "speculative":
             # Speculative multi-level inertia correction: factor K at
             # dw in {0, spec_levels * 0.3*dw_last, delta_w_max} in ONE
@@ -532,7 +615,9 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             dws = jnp.stack(
                 [jnp.zeros_like(dw1)]
                 + [jnp.minimum(m_ * dw1, opt.delta_w_max)
-                   for m_ in opt.spec_levels])
+                   for m_ in opt.spec_levels]
+                + ([jnp.full_like(dw1, opt.delta_w_max)]
+                   if opt.spec_capstone else []))
             K_all = K0_f[None] \
                 + dws[:, None, None].astype(K0_f.dtype) * eye_f[None]
             fac_all, dK_all, lvl_ok = equil_factor(K_all)
@@ -549,9 +634,24 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             # the whole batch is satisfied.
             init = (dws[-1], dv, dlam, ok0, jnp.asarray(1, jnp.int32),
                     (factors_sel, dK64))
-            dw_used, dv, dlam, ok, _, factors = jax.lax.while_loop(
+            dw_esc, dv, dlam, ok, _, factors = jax.lax.while_loop(
                 esc_cond, esc_body, init)
-            dw_used = jnp.where(ok0, dw_spec, dw_used)
+            # Actual dw of the SELECTED factors (fed to the corrector's
+            # exact KKT operator) vs the value reported to the dw_last
+            # heuristic: the capstone level must not ratchet dw_last to
+            # delta_w_max (all subsequent ladders would collapse to
+            # {0, 1e10}); report one delta_w_up step above the top
+            # regular level instead so the ladder keeps growing
+            # geometrically across iterations.
+            dw_op = jnp.where(ok0, dw_spec, dw_esc)
+            dw_rep = dw_spec
+            if opt.spec_capstone:
+                dw_rep = jnp.where(
+                    lvl == dws.shape[0] - 1,
+                    jnp.minimum(opt.delta_w_up * dws[-2],
+                                opt.delta_w_max),
+                    dw_spec)
+            dw_used = jnp.where(ok0, dw_rep, dw_esc)
         else:
             zero_factors = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
@@ -562,6 +662,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                     jnp.asarray(0, jnp.int32), zero_factors)
             dw_used, dv, dlam, ok, _, factors = jax.lax.while_loop(
                 esc_cond, esc_body, init)
+            dw_op = dw_used
         dzl = jnp.where(jnp_has_l, mu_dl - zl - sig_l * dv, 0.0)
         dzu = jnp.where(jnp_has_u, mu_du - zu + sig_u * dv, 0.0)
         # Sigma ~ kappa*mu/d^2 can overflow for near-boundary iterates
@@ -576,13 +677,53 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             existing (equilibrated) factorization (for second-order
             corrections)."""
             fac, dK64_ = factors
-            rhs = -(J.T @ (rg_soc / dc))
-            if "nofactor" in ablate:
-                dv_c = rhs / (dK64_ * dK64_)
-            else:
+
+            def ksolve_c(rhs):
+                if "nofactor" in ablate:
+                    return rhs / (dK64_ * dK64_)
                 z = spd_solve(fac, (rhs / dK64_).astype(
                     fac_dtype or v.dtype))
-                dv_c = z.astype(v.dtype) / dK64_
+                return z.astype(v.dtype) / dK64_
+
+            if use_gmres_dense and "noir" not in ablate:
+                # Same coupled-KKT GMRES as the main step (shorter, in
+                # the factorization dtype): a raw regularized solve
+                # leaves an O(dc*|lam|) bias that the 1/dc dual recovery
+                # amplifies into the multipliers whenever the SOC
+                # candidate is accepted.
+                from .krylov import gmres_right
+                fdt = fac_dtype or v.dtype
+                dK_f = dK64_.astype(fdt)
+                dc_f = dc.astype(fdt)
+                dw_f = dw_op.astype(fdt)
+
+                def ksolve_f(rhs):
+                    if "nofactor" in ablate:
+                        return rhs / (dK_f * dK_f)
+                    return spd_solve(fac, rhs / dK_f) / dK_f
+
+                def prec(r):
+                    r1 = r[:nv]
+                    r2 = r[nv:]
+                    dv_ = ksolve_f(r1 + J_fc.T @ (r2 / dc_f))
+                    return jnp.concatenate(
+                        [dv_, (J_fc @ dv_ - r2) / dc_f])
+
+                def amul(wv):
+                    dv_ = wv[:nv]
+                    dl_ = wv[nv:]
+                    return jnp.concatenate(
+                        [W0_fc @ dv_ + dw_f * dv_ + J_fc.T @ dl_,
+                         J_fc @ dv_])
+
+                sol = gmres_right(
+                    amul, prec,
+                    jnp.concatenate(
+                        [jnp.zeros(nv, fdt), -rg_soc.astype(fdt)]),
+                    max(3, opt.dense_gmres_iters // 2))
+                return (sol[:nv].astype(v.dtype),
+                        sol[nv:].astype(v.dtype))
+            dv_c = ksolve_c(-(J.T @ (rg_soc / dc)))
             dlam_c = (J @ dv_c + rg_soc) / dc
             return dv_c, dlam_c
 
@@ -718,12 +859,16 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                 & jnp.all(jnp.isfinite(dln))
             return (dw_next, dxn, dln, okn, k + 1, fac)
 
-        dw_used, dx, dlam, ok, _, fac_fin = jax.lax.while_loop(
+        dw_esc, dx, dlam, ok, _, fac_fin = jax.lax.while_loop(
             esc_cond, esc_body,
             (jnp.maximum(dws[n_exact - 1], 1e-8), dx, dlam, ok0,
              jnp.asarray(1, jnp.int32), fac_sel))
         esc_taken = ~ok0
-        dw_used = jnp.where(ok0, dw_heur, dw_used)
+        # dw of the factors actually in use (exact operator for the SOC
+        # corrector) vs the value fed to the dw_last heuristic — a
+        # convexified-level success must not inflate the next ladder.
+        dw_op = jnp.where(ok0, dw_spec, dw_esc)
+        dw_used = jnp.where(ok0, dw_heur, dw_esc)
         fac_fin = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok0, a, b), fac_sel, fac_fin)
         blocks_fin = jax.tree_util.tree_map(
@@ -747,7 +892,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             else:
                 from .krylov import gmres_right
                 dx_c = gmres_right(
-                    lambda z: kkt.kmul(blocks_fin, dw_used, z),
+                    lambda z: kkt.kmul(blocks_fin, dw_op, z),
                     lambda r: kkt.solve(blocks_fin, fac_fin, r),
                     rhs_c, max(4, opt.gmres_iters // 2))
             dlam_c = Dinv * (c_jvp(dx_c) + rg_soc)

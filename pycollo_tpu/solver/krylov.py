@@ -73,8 +73,21 @@ def gmres_right(matvec, precond, rhs, iters: int):
     (V, H), _ = jax.lax.scan(arnoldi, (V0, H0), jnp.arange(iters))
 
     e1 = jnp.zeros(iters + 1, rhs.dtype).at[0].set(1.0)
-    y, _, _, _ = jnp.linalg.lstsq(H, e1)
-    x = precond(V[:iters].T @ y) * scale
-    # Guard: a non-finite preconditioner application must not poison
-    # the caller silently (callers check isfinite on the output).
-    return x
+    # Ridge-regularized normal equations instead of ``lstsq``: the
+    # SVD-based lstsq lowering SIGABRTs the XLA TPU compiler in f32
+    # (jax 0.9 / libtpu 2026-08), and the (iters+1, iters) Hessenberg
+    # system is tiny and benign (columns come from an orthonormal
+    # Arnoldi basis); zero columns from a breakdown are handled by the
+    # ridge, which then selects the minimum-norm coefficient exactly as
+    # lstsq did.
+    HtH = H.T @ H
+    ridge = 100.0 * jnp.finfo(rhs.dtype).eps ** 2 \
+        * (1.0 + jnp.trace(HtH))
+    # Cholesky, not LU: XLA's LuDecomposition is f32-only on TPU, while
+    # the ridged normal-equations matrix is SPD by construction.
+    L = jnp.linalg.cholesky(HtH + ridge * jnp.eye(iters,
+                                                  dtype=rhs.dtype))
+    y = jax.scipy.linalg.cho_solve((L, True), H.T @ e1)
+    # No finiteness guard here: callers are responsible for checking
+    # isfinite on the returned step (all of them do).
+    return precond(V[:iters].T @ y) * scale
