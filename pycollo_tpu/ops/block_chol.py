@@ -157,3 +157,95 @@ def chol_inv_reference(A):
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=jnp.float32),
                            A32.shape)
     return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+def blocked_chol_linv(A, block: int | None = None,
+                      interpret: bool | None = None):
+    """Cholesky + full triangular inverse of a stack of SPD matrices.
+
+    ``A``: (..., n, n) SPD, any n.  Returns ``(diag_L, Linv)`` with
+    ``A = L L^T``: ``diag_L`` (..., n) — the factor diagonal (for the
+    caller's positive-pivot / indefiniteness check) — and ``Linv``
+    (..., n, n) lower-triangular f32, so a subsequent SPD solve is two
+    MXU matmuls (``x = Linv^T (Linv b)``) with no sequential
+    triangular-substitution custom call at all.
+
+    Layout: the (static) block grid runs the lane-vectorized
+    :func:`batched_chol_inv` Pallas kernel on each diagonal block and
+    plain batched matmuls (MXU, full-f32 accumulation) for panels,
+    trailing updates, and the block triangular inversion — profiled on
+    the interior-point workload against XLA's TPU Cholesky custom call,
+    whose sequential per-instance blocked algorithm runs at ~50 GFLOP/s
+    on (1536, 148, 148) stacks (21.5 ms per factorization sweep).
+
+    A non-PD instance yields NaNs in its diagonal block inverse which
+    propagate through every later panel/trailing product — same
+    detection contract as ``jnp.linalg.cholesky``.
+    """
+    import numpy as _np
+
+    *batch, n, n2_ = A.shape
+    assert n == n2_, (n, n2_)
+    if block is None:
+        nb = max(1, -(-n // MAX_BLOCK_N))
+        block = -(-n // nb)
+    else:
+        nb = -(-n // block)
+    n_pad = nb * block
+    B = int(_np.prod(batch)) if batch else 1
+    Af = A.reshape((B, n, n)).astype(jnp.float32)
+    if n_pad != n:
+        # Identity padding keeps the factorization defined and the
+        # padded pivots at exactly 1.
+        P = jnp.zeros((B, n_pad, n_pad), jnp.float32)
+        P = P.at[:, :n, :n].set(Af)
+        idx = jnp.arange(n, n_pad)
+        Af = P.at[:, idx, idx].set(1.0)
+    hi = jax.lax.Precision.HIGHEST
+    b = block
+
+    def blk(i, j):
+        return Af[:, i * b:(i + 1) * b, j * b:(j + 1) * b]
+
+    work = {(i, j): blk(i, j) for i in range(nb) for j in range(i + 1)}
+    L = [[None] * nb for _ in range(nb)]
+    Dinv = [None] * nb
+    for j in range(nb):
+        Dinv[j] = batched_chol_inv(work[(j, j)], interpret=interpret)
+        for i in range(j + 1, nb):
+            # L_ij = A'_ij @ L_jj^{-T}
+            L[i][j] = jnp.einsum("bik,bjk->bij", work[(i, j)], Dinv[j],
+                                 precision=hi)
+        for i in range(j + 1, nb):
+            for k in range(j + 1, i + 1):
+                work[(i, k)] = work[(i, k)] - jnp.einsum(
+                    "bik,bjk->bij", L[i][j], L[k][j], precision=hi)
+
+    # Block triangular inversion:
+    # Linv_jj = Dinv_j;  Linv_ij = -Dinv_i (sum_{k=j}^{i-1} L_ik Linv_kj)
+    Linv_blocks = [[None] * nb for _ in range(nb)]
+    for j in range(nb):
+        Linv_blocks[j][j] = Dinv[j]
+        for i in range(j + 1, nb):
+            acc = jnp.einsum("bik,bkj->bij", L[i][j],
+                             Linv_blocks[j][j], precision=hi)
+            for k in range(j + 1, i):
+                acc = acc + jnp.einsum("bik,bkj->bij", L[i][k],
+                                       Linv_blocks[k][j], precision=hi)
+            Linv_blocks[i][j] = -jnp.einsum("bik,bkj->bij", Dinv[i],
+                                            acc, precision=hi)
+
+    zero = jnp.zeros((B, b, b), jnp.float32)
+    rows = [jnp.concatenate([Linv_blocks[i][j] if j <= i else zero
+                             for j in range(nb)], axis=2)
+            for i in range(nb)]
+    Linv = jnp.concatenate(rows, axis=1)[:, :n, :n]
+    # Factor diagonal from the block inverses: diag(L_jj) =
+    # 1 / diag(L_jj^{-1}).
+    dinv_diag = jnp.concatenate(
+        [jnp.diagonal(Dinv[j], axis1=-2, axis2=-1) for j in range(nb)],
+        axis=-1)[:, :n]
+    diag_L = 1.0 / dinv_diag
+    out_shape = tuple(batch)
+    return (diag_L.reshape(out_shape + (n,)),
+            Linv.reshape(out_shape + (n, n)))

@@ -193,6 +193,18 @@ class IPMOptions:
     dense_refine: str = "auto"
     #: GMRES iterations for the dense-path coupled-KKT refinement
     dense_gmres_iters: int = 6
+    #: evaluation dtype for derivative ASSEMBLY (the structural
+    #: Jacobian/Hessian block sweeps): "f64" or "f32".  In "f32" mode
+    #: the assembled blocks feed only the factorization and the GMRES
+    #: operator (where rounding affects the convergence RATE, not the
+    #: fixed point); the step rhs uses an exact f64 J^T lam from one
+    #: VJP, and the iterate state, residuals, line-search trials, and
+    #: the reported KKT error all stay f64, so the converged solution
+    #: is still certified in f64.  On a TPU with no native f64 (v5e
+    #: emulates at ~25-100x) assembly is where the remaining time goes
+    #: once the factorization is f32.  Requires
+    #: kkt_precision="mixed" and the dense path.
+    eval_dtype: str = "f64"
     #: Krylov iterations for the structured (block-banded) step solve.
     #: The banded arrowhead factorization's nested Schur layers cancel
     #: catastrophically in a few border/low-rank directions near a
@@ -327,11 +339,17 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     J_s[ineq_idx, np.arange(ns)] = -1.0
 
     from .linalg import make_spd_solver
-    spd_factor, spd_solve, spd_diag = make_spd_solver(n + ns)
     mixed = opt.kkt_precision == "mixed"
+    spd_factor, spd_solve, spd_diag = make_spd_solver(
+        n + ns, pallas=(mixed and jax.default_backend() == "tpu"))
     fac_dtype = jnp.float32 if mixed else None
     use_gmres_dense = (opt.dense_refine == "gmres"
                        or (opt.dense_refine == "auto" and mixed))
+    ev32 = opt.eval_dtype == "f32"
+    if ev32 and not mixed:
+        raise ValueError(
+            'eval_dtype="f32" requires kkt_precision="mixed" (the f64 '
+            'factorization path would promote the f32 blocks back).')
     ablate = frozenset(t for t in opt.debug_ablate.split(",") if t)
 
     derivatives = derivatives or {}
@@ -354,16 +372,21 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     eq_mask = jnp.asarray(eq_mask_np)
 
     def g_fn(v, theta):
-        """Equality-form residual g(v) = c(x) - slack/rhs."""
+        """Equality-form residual g(v) = c(x) - slack/rhs.
+
+        Dtype-polymorphic: theta's dtype governs (f32 trial sweeps pass
+        an f32 theta; the residual island passes the f64 one)."""
+        dt = theta.dtype
+        v = v.astype(dt)
         x = v[:n]
         cx = c_fn(x, theta)
-        slack_full = jnp.zeros(m).at[ineq_idx].set(v[n:]) if ns else \
-            jnp.zeros(m)
-        return cx - slack_full - jnp_rhs_eq
+        slack_full = jnp.zeros(m, dt).at[ineq_idx].set(v[n:]) if ns \
+            else jnp.zeros(m, dt)
+        return cx - slack_full - jnp_rhs_eq.astype(dt)
 
     def dists(v):
-        dl = jnp.where(jnp_has_l, v - jnp_vl, 1.0)
-        du = jnp.where(jnp_has_u, jnp_vu - v, 1.0)
+        dl = jnp.where(jnp_has_l, v - jnp_vl.astype(v.dtype), 1.0)
+        du = jnp.where(jnp_has_u, jnp_vu.astype(v.dtype) - v, 1.0)
         return dl, du
 
     def barrier(v, mu):
@@ -376,6 +399,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         return jnp.where(feas, val, jnp.inf)
 
     def merit(v, mu, nu, theta):
+        v = v.astype(theta.dtype)
         x = v[:n]
         return f_fn(x, theta) + barrier(v, mu) \
             + nu * jnp.sum(jnp.abs(g_fn(v, theta)))
@@ -411,7 +435,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                              g_fn(v, theta), v, lam, zl, zu, mu)
 
     def compute_step(v, lam, zl, zu, mu, dw_last, theta, gf, Jc, rg,
-                     restore=False):
+                     restore=False, Jtlam64=None):
         """Condensed-space Newton step via two Cholesky factorizations.
 
         Runs the IPOPT-style inertia-correction loop *inside* one call: a
@@ -426,8 +450,16 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         constraint violation (IPOPT section 3.3 analogue).
         """
         x = v[:n]
-        H = jnp.eye(n) if "hess1" in ablate else hess_lag(x, lam, theta)
-        H = jnp.where(restore, jnp.eye(n), H)
+        if ev32:
+            th_h = theta.astype(jnp.float32)
+            H = jnp.eye(n, dtype=jnp.float32) if "hess1" in ablate \
+                else hess_lag(x.astype(jnp.float32),
+                              lam.astype(jnp.float32), th_h)
+            H = jnp.where(restore, jnp.eye(n, dtype=jnp.float32), H)
+        else:
+            H = jnp.eye(n) if "hess1" in ablate \
+                else hess_lag(x, lam, theta)
+            H = jnp.where(restore, jnp.eye(n), H)
         dl, du = dists(v)
         sig_l = jnp.where(jnp_has_l, zl / dl, 0.0)
         sig_u = jnp.where(jnp_has_u, zu / du, 0.0)
@@ -436,9 +468,16 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
 
         W0 = jnp.zeros((nv, nv)).at[:n, :n].set(H)
         W0 = W0 + jnp.diag(sig_l + sig_u)
-        J = jnp.concatenate([Jc, jnp_Js], axis=1)   # (m, nv)
+        # In eval_dtype="f32" mode Jc arrives f32 and is only the
+        # OPERATOR (factorization + GMRES matvecs, where rounding only
+        # affects the convergence rate); the step rhs uses the exact
+        # f64 J^T lam from a VJP (Jtlam64) so the Newton fixed point is
+        # the true KKT point — with the rounded J in the rhs the
+        # iteration measurably stalls at ~1e-4.
+        Jc64 = Jc.astype(v.dtype)
+        J = jnp.concatenate([Jc64, jnp_Js], axis=1)   # (m, nv)
 
-        rd_x = gf + Jc.T @ lam
+        rd_x = gf + (Jc64.T @ lam if Jtlam64 is None else Jtlam64)
         rd_s = -lam[ineq_idx] if ns else jnp.zeros(0)
         rd = jnp.concatenate([rd_x, rd_s]) - mu_dl + mu_du
         eye_nv = jnp.eye(nv)
@@ -976,7 +1015,12 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
     FSZ = max(1, min(opt.filter_size, opt.max_iter + 1))
 
     def theta_phi(v_t, mu, theta):
-        """(constraint violation, barrier objective) of a trial point."""
+        """(constraint violation, barrier objective) of a trial point.
+
+        theta's dtype governs the evaluation precision (f32 in
+        eval_dtype="f32" mode — acceptance decisions never need 1e-6
+        resolution; the f64 KKT island certifies convergence)."""
+        v_t = v_t.astype(theta.dtype)
         th = jnp.sum(jnp.abs(g_fn(v_t, theta)))
         ph = f_fn(v_t[:n], theta) + barrier(v_t, mu)
         return th, ph
@@ -1066,6 +1110,12 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         fcnt_n = jnp.where(augment, jnp.minimum(fcnt + 1, FSZ), fcnt)
         return dv_eff, dlam_eff, alpha_rep, ls_ok, fth_n, fph_n, fcnt_n
 
+    #: internal stop threshold: the running KKT error is exact f64 in
+    #: every mode (eval_dtype="f32" uses an exact f64 VJP for J^T lam),
+    #: so no margin is needed; the returned kkt_error and converged
+    #: flag are still recomputed fresh in f64 in ev32 mode.
+    tol_stop = opt.tol
+
     def _stop_rule(e_0, be0):
         """Converged, or the tail has exploded beyond recovery.
 
@@ -1073,8 +1123,8 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         seen (be0 small) and the current error is orders of magnitude
         above it — the tail-explosion signature, not the normal early-
         phase KKT-error fluctuation."""
-        diverged = (be0 <= 1e-4) & (e_0 >= 1e4 * be0) & (e_0 > opt.tol)
-        return (e_0 <= opt.tol) | diverged
+        diverged = (be0 <= 1e-4) & (e_0 >= 1e4 * be0) & (e_0 > tol_stop)
+        return (e_0 <= tol_stop) | diverged
 
     def body(state: _State, theta):
         v, lam, zl, zu, mu, nu = (state.v, state.lam, state.zl, state.zu,
@@ -1100,13 +1150,26 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
                 v, lam, zl, zu, mu, dw_last, theta, gf_eff, rg, Jtlam,
                 c_vjp, restore)
         else:
-            Jc = jnp.zeros((m, n)) if "jac0" in ablate else jac_c(x, theta)
-            e_0 = kkt_error_pre(gf, Jc.T @ lam, rg, v, lam, zl, zu, 0.0)
+            if ev32 and "jac0" not in ablate:
+                # f32 assembly for the factorization/GMRES operator;
+                # exact f64 J^T lam from one VJP for the KKT error and
+                # the step rhs (see IPMOptions.eval_dtype).
+                Jc = jac_c(x.astype(jnp.float32),
+                           theta.astype(jnp.float32))
+                _, c_vjp = jax.vjp(lambda xx: c_fn(xx, theta), x)
+                Jtlam = c_vjp(lam)[0]
+            elif "jac0" in ablate:
+                Jc = jnp.zeros((m, n))
+                Jtlam = Jc.T @ lam
+            else:
+                Jc = jac_c(x, theta)
+                Jtlam = Jc.T @ lam
+            e_0 = kkt_error_pre(gf, Jtlam, rg, v, lam, zl, zu, 0.0)
             done_now = _stop_rule(e_0, state.be0)
             (dv, dlam, dzl, dzu, gf_dv, dw_used, ok,
              corrector) = compute_step(
                 v, lam, zl, zu, mu, dw_last, theta, gf_eff, Jc, rg,
-                restore)
+                restore, Jtlam64=Jtlam if ev32 else None)
         # Best-iterate tracking: e_0 is the error of the INCOMING
         # iterate, so record it (and the iterate) before stepping.
         better = e_0 < state.be0
@@ -1126,14 +1189,23 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         nu_new = update_nu(nu, rg, gf_dv)
         alpha_max = ftb_primal(v, dv, mu)
         alpha_dual = ftb_dual(zl, zu, dzl, dzu, mu)
+        # Line-search trial evaluations stay f64 even in ev32 mode:
+        # f32-evaluated theta/phi acceptance tests are pure noise near
+        # convergence (theta ~ 1e-9 at an f32 noise floor of ~1e-6) and
+        # measurably stall the tail (batch convergence 89% with f32
+        # trials vs 100% with f64 ones; assembly-only f32 even shortens
+        # the max iteration count, 39 -> 29).  g_fn/theta_phi/merit stay
+        # dtype-polymorphic for future full-f32 experimentation.
+        theta_ev = theta
         if opt.line_search == "filter":
             (dv_eff, dlam_eff, alpha, ls_ok, fth_n, fph_n,
              fcnt_n) = filter_line_search(state, dv, dlam, alpha_max,
-                                          gf_dv, corrector, theta, rg, f0)
+                                          gf_dv, corrector, theta_ev,
+                                          rg, f0)
         else:
             dv_eff, dlam_eff, alpha, ls_ok = line_search(
                 v, dv, dlam, mu, nu_new, alpha_max, gf_dv, corrector,
-                theta, rg, f0)
+                theta_ev, rg, f0)
             fth_n, fph_n, fcnt_n = state.fth, state.fph, state.fcnt
         th0 = jnp.sum(jnp.abs(rg))
         if opt.restoration:
@@ -1142,7 +1214,7 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
             # ``restore``); overrides the filter result in that mode.
             alphas_r = alpha_max * (0.5 ** jnp.arange(opt.max_ls))
             th_tr = jax.vmap(
-                lambda a: jnp.sum(jnp.abs(g_fn(v + a * dv, theta))))(
+                lambda a: jnp.sum(jnp.abs(g_fn(v + a * dv, theta_ev))))(
                     alphas_r)
             ok_r = th_tr <= th0 * (1.0 - opt.eta_armijo * alphas_r)
             any_r = jnp.any(ok_r)
@@ -1378,13 +1450,20 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         zl_out = jnp.where(use_best, final.bzl, final.zl)
         zu_out = jnp.where(use_best, final.bzu, final.zu)
         e_out = jnp.where(use_best, final.be0, final.e0)
+        conv_out = final.be0 <= opt.tol
+        if ev32:
+            # The running error read the f32-rounded Jacobian; certify
+            # the returned iterate with one fresh full-f64 evaluation.
+            e_out = kkt_error(v_out, lam_out, zl_out, zu_out, 0.0,
+                              theta)
+            conv_out = e_out <= opt.tol
         x = v_out[:n]
         slack = v_out[n:]
         return IPMResult(x=x, slack=slack, lam=lam_out,
                          zl=zl_out, zu=zu_out,
                          f=f_fn(x, theta), kkt_error=e_out,
                          mu=final.mu, iterations=final.it,
-                         converged=final.be0 <= opt.tol)
+                         converged=conv_out)
 
     def solve(x0, theta):
         return _run(init_state(x0, theta), theta)

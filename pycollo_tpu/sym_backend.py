@@ -119,22 +119,25 @@ class SymbolicPhaseFunctions:
             + [s[i] for i in range(self._ns)] \
             + ([t] if self._t_sym else [])
         out = fn(*args)
-        vals = [jnp.asarray(v, dtype=jnp.result_type(float)) for v in out]
+        # Dtype follows the traced inputs (f32 evaluation mode casts
+        # y/u/t/s down); numeric constants from lambdify are cast to it.
+        dt = y.dtype if self._ny else jnp.result_type(float)
+        vals = [jnp.asarray(v, dtype=dt) for v in out]
         # Broadcast numeric constants against traced entries.
         return jnp.stack([jnp.broadcast_to(v, ()) for v in vals]) \
-            if vals else jnp.zeros((0,))
+            if vals else jnp.zeros((0,), dt)
 
     def dynamics(self, y, u, t, s):
         return self._call(self._dyn, self._ny, y, u, t, s)
 
     def path(self, y, u, t, s):
         if self._path is None:
-            return self._jnp.zeros((0,))
+            return self._jnp.zeros((0,), y.dtype)
         return self._call(self._path, len(self.p_con), y, u, t, s)
 
     def integrand(self, y, u, t, s):
         if self._integrand is None:
-            return self._jnp.zeros((0,))
+            return self._jnp.zeros((0,), y.dtype)
         return self._call(self._integrand, len(self.q_fnc), y, u, t, s)
 
 
@@ -189,17 +192,25 @@ class SymbolicProgram:
         args.extend([ep.s[i] for i in range(ep.s.shape[0])])
         return args
 
+    def _ep_dtype(self, ep: Endpoints):
+        jnp = self._jnp
+        for p_ep in ep.phase:
+            if p_ep.y0.size:
+                return p_ep.y0.dtype
+        return ep.s.dtype if ep.s.size else jnp.result_type(float)
+
     def objective(self, ep: Endpoints):
         return self._jnp.asarray(self._J_fn(*self._endpoint_args(ep)),
-                                 dtype=self._jnp.result_type(float))
+                                 dtype=self._ep_dtype(ep))
 
     def endpoint_constraints(self, ep: Endpoints):
         jnp = self._jnp
+        dt = self._ep_dtype(ep)
         if self._b_fn is None:
-            return jnp.zeros((0,))
+            return jnp.zeros((0,), dt)
         vals = self._b_fn(*self._endpoint_args(ep))
         return jnp.stack([jnp.broadcast_to(jnp.asarray(
-            v, dtype=jnp.result_type(float)), ()) for v in vals])
+            v, dtype=dt), ()) for v in vals])
 
     # -- numeric resolution of bounds / guess entries -------------------
     def resolve_numeric(self, value, aux_map=None):

@@ -61,7 +61,8 @@ class FunctionalProgram:
 
     def endpoint_constraints(self, ep: Endpoints):
         if self._endpoint is None:
-            return self._jnp.zeros(0)
+            dt = ep.phase[0].y0.dtype if ep.phase else None
+            return self._jnp.zeros(0, dt)
         return self._jnp.atleast_1d(self._endpoint(ep))
 
     def resolve_numeric(self, value):
@@ -90,12 +91,12 @@ class _FunctionalPhase:
 
     def path(self, y, u, t, s):
         if self._path is None:
-            return self._jnp.zeros(0)
+            return self._jnp.zeros(0, y.dtype)
         return self._jnp.atleast_1d(self._path(y, u, t, s))
 
     def integrand(self, y, u, t, s):
         if self._integrand is None:
-            return self._jnp.zeros(0)
+            return self._jnp.zeros(0, y.dtype)
         return self._jnp.atleast_1d(self._integrand(y, u, t, s))
 
 
@@ -543,7 +544,13 @@ class MeshIteration:
                    for t in tables]
 
         def assemble_full(xs, theta):
-            return theta.at[free_idx].set(xs * V_free + r_free)
+            # theta's dtype governs the evaluation precision (the solver
+            # passes an f32 theta for trial/derivative evaluations in
+            # ``eval_dtype="f32"`` mode); captured f64 constants are cast
+            # to it at trace time (constant-folded by XLA).
+            dt = theta.dtype
+            return theta.at[free_idx].set(
+                xs.astype(dt) * V_free.astype(dt) + r_free.astype(dt))
 
         def phase_values(x_full, pl, jt, s):
             y = x_full[pl.y_slice].reshape(pl.ny, pl.N)
@@ -553,7 +560,7 @@ class MeshIteration:
             tF = x_full[pl.t_off + 1]
             stretch = 0.5 * (tF - t0)
             shift = 0.5 * (t0 + tF)
-            t_nodes = stretch * jt["tau"] + shift
+            t_nodes = stretch * jt["tau"].astype(x_full.dtype) + shift
             return y, u, q, t0, tF, stretch, t_nodes
 
         def endpoints(x_full):
@@ -577,7 +584,9 @@ class MeshIteration:
                 uT = u.T          # (N, nu)
                 f = jax.vmap(pf.dynamics, in_axes=(0, 0, 0, None))(
                     yT, uT, t_nodes, s)          # (N, ny)
-                defect = jt["E"] @ yT + stretch * (jt["I"] @ f)
+                dt = x_full.dtype
+                defect = jt["E"].astype(dt) @ yT \
+                    + stretch * (jt["I"].astype(dt) @ f)
                 defect = defect[:, pl.defect_states]
                 parts.append(defect.T.reshape(-1))
                 if pl.npc:
@@ -587,11 +596,13 @@ class MeshIteration:
                 if pl.nq:
                     rho = jax.vmap(pf.integrand, in_axes=(0, 0, 0, None))(
                         yT, uT, t_nodes, s)      # (N, nq)
-                    parts.append(q - stretch * (jt["W"] @ rho))
+                    parts.append(
+                        q - stretch * (jt["W"].astype(x_full.dtype) @ rho))
             ep = endpoints(x_full)
             b = program.endpoint_constraints(ep)
             parts.append(b.reshape(-1))
-            return jnp.concatenate(parts) if parts else jnp.zeros(0)
+            return jnp.concatenate(parts) if parts else \
+                jnp.zeros(0, x_full.dtype)
 
         def objective_raw(x_full):
             return jnp.squeeze(program.objective(endpoints(x_full)))
@@ -685,9 +696,13 @@ class MeshIteration:
             return F
 
         def jac_full(x_full):
-            """Dense (m_total, n_full) Jacobian of the raw constraints."""
+            """Dense (m_total, n_full) Jacobian of the raw constraints.
+
+            Dtype-polymorphic: follows ``x_full.dtype`` (the solver's
+            ``eval_dtype="f32"`` mode assembles in f32)."""
             s = x_full[lay.s_slice]
-            J = jnp.zeros((m_total, n_full))
+            dt = x_full.dtype
+            J = jnp.zeros((m_total, n_full), dt)
             for i, (pl, jt, st) in enumerate(zip(lay.phases, jtables,
                                                  phase_static)):
                 t0 = x_full[pl.t_off]
@@ -700,10 +715,12 @@ class MeshIteration:
                 Jw, Jt0, JtF, Js = jax.vmap(
                     jax.jacfwd(F, argnums=(0, 1, 2, 3)),
                     in_axes=(0, None, None, None, 0))(
-                        wz, t0, tF, s, jt["tau"])
+                        wz, t0, tF, s, jt["tau"].astype(dt))
                 Fv = jax.vmap(F, in_axes=(0, None, None, None, 0))(
-                    wz, t0, tF, s, jt["tau"])                # (N, nf)
-                E, I, W = jt["E"], jt["I"], jt["W"]
+                    wz, t0, tF, s, jt["tau"].astype(dt))     # (N, nf)
+                E = jt["E"].astype(dt)
+                I = jt["I"].astype(dt)
+                W = jt["W"].astype(dt)
                 nd = pl.num_defect
                 # Defect rows.
                 for kk, k in enumerate(pl.defect_states):
@@ -768,9 +785,13 @@ class MeshIteration:
         exact_hessian = self.settings.derivative_level == 2
 
         def hess_full(x_full, eta):
-            """Dense (n_full, n_full) Hessian of eta . c_raw + w J."""
+            """Dense (n_full, n_full) Hessian of eta . c_raw + w J.
+
+            Dtype-polymorphic (see ``jac_full``)."""
             s = x_full[lay.s_slice]
-            H = jnp.zeros((n_full, n_full))
+            dt = x_full.dtype
+            eta = eta.astype(dt)
+            H = jnp.zeros((n_full, n_full), dt)
             for i, (pl, jt, st) in enumerate(zip(
                     lay.phases if exact_hessian else [], jtables,
                     phase_static)):
@@ -780,9 +801,10 @@ class MeshIteration:
                 u = x_full[pl.u_slice].reshape(pl.nu, pl.N)
                 wz = jnp.concatenate([y, u], axis=0).T
                 nd = pl.num_defect
-                I, W = jt["I"], jt["W"]
+                I = jt["I"].astype(dt)
+                W = jt["W"].astype(dt)
                 # Per-node multiplier weights.
-                kappa_f = jnp.zeros((pl.N, pl.ny))
+                kappa_f = jnp.zeros((pl.N, pl.ny), dt)
                 for kk, k in enumerate(pl.defect_states):
                     eta_k = jax.lax.dynamic_slice(
                         eta, (pl.c_defect_off + kk * nd,), (nd,))
@@ -819,7 +841,8 @@ class MeshIteration:
                      jnp.broadcast_to(s, (pl.N, lay.ns))], axis=1)
                 blocks = jax.vmap(jax.hessian(phi),
                                   in_axes=(0, 0, 1, 0, 0))(
-                    vecs, kappa_f, eta_p, W, jt["tau"])   # (N, D, D)
+                    vecs, kappa_f, eta_p, W,
+                    jt["tau"].astype(dt))   # (N, D, D)
                 H = H.at[st["hess_idx"][:, :, None],
                          st["hess_idx"][:, None, :]].add(blocks)
             # Endpoint/objective part over the endpoint-relevant entries.
@@ -840,18 +863,22 @@ class MeshIteration:
         def jac_c_scaled(xs, theta):
             # self.W_c is read at trace time (scaling is built before the
             # solver jits these).
-            jW_c = jnp.asarray(self.W_c)
+            dt = theta.dtype
+            jW_c = jnp.asarray(self.W_c, dt)
             x_full = self.assemble_full(xs, theta)
             J = jac_full(x_full)
-            return (jW_c[:, None] * J[:, free_idx]) * V_free[None, :]
+            return (jW_c[:, None] * J[:, free_idx]) \
+                * V_free.astype(dt)[None, :]
 
         def hess_lag_scaled(xs, lam, theta):
-            jW_c = jnp.asarray(self.W_c)
+            dt = theta.dtype
+            jW_c = jnp.asarray(self.W_c, dt)
             x_full = self.assemble_full(xs, theta)
-            eta = jW_c * lam
+            eta = jW_c * lam.astype(dt)
             H = hess_full(x_full, eta)
             Hf = H[free_idx[:, None], free_idx[None, :]]
-            return Hf * V_free[:, None] * V_free[None, :]
+            Vf = V_free.astype(dt)
+            return Hf * Vf[:, None] * Vf[None, :]
 
         self.jac_c_scaled = jac_c_scaled
         self.hess_lag_scaled = hess_lag_scaled
