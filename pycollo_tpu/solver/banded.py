@@ -331,10 +331,14 @@ def arrow_factor(blocks: ArrowBlocks, dw) -> ArrowFactors:
                         dz=tuple(dz_scales), dwq=dwq, dy=dy, ok=ok)
 
 
-def arrow_solve(blocks: ArrowBlocks, factors: ArrowFactors, rz_list, rw):
+def arrow_solve(factors: ArrowFactors, rz_list, rw):
     """Solve the augmented system; ``rz_list`` per-phase (K, MB),
     ``rw`` (nw,).  The dual rows' rhs is structurally zero (they are
-    introduced by the exact elimination ``y = D^-1 G^T dx``)."""
+    introduced by the exact elimination ``y = D^-1 G^T dx``).
+
+    All coupling data comes from the stored half-solved panels
+    ``factors.W`` — the assembled blocks are not needed here (advisor
+    round-4: the former ``blocks`` parameter was dead)."""
     nr = factors.dy.shape[0]
     nw = rw.shape[0]
     # Equilibration: K = D^-1 Ks D^-1 with scales d -> x = d * Ks^-1 (d*r).

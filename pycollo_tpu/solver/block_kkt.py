@@ -762,7 +762,7 @@ class BlockKKT:
 
     def solve(self, blocks, factors, rhs_free):
         rz, rw = self._rhs_to_struct(rhs_free)
-        dz, dw_vec = arrow_solve(blocks, factors, rz, rw)
+        dz, dw_vec = arrow_solve(factors, rz, rw)
         return self._struct_to_free(dz, dw_vec)
 
     def kmul(self, blocks, dw, dx_free):

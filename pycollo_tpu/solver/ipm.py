@@ -796,8 +796,16 @@ def build_ipm_solver(f_fn: Callable, c_fn: Callable,
         rd_x = gf + Jtlam - mu_dl[:n] + mu_du[:n]
         rd_s = (-lam[ineq_idx] - mu_dl[n:] + mu_du[n:]) if ns \
             else jnp.zeros(0)
+        # Floor coupled to the tolerance (advisor round-3 finding): the
+        # reachable KKT residual is O(dc)-limited through the relaxed
+        # equality rows, so an unconditional 3e-7 floor walls off the
+        # default 1e-8 tolerance.  With the GMRES step refinement the
+        # Woodbury 1/dc amplification no longer needs a large floor
+        # (measured: cart-pole batch converges 8/8 to 1e-8 at floor
+        # 1e-9, in FEWER iterations than at 3e-7).
+        floor_b = min(opt.dc_floor_banded, 0.1 * opt.tol)
         dc = jnp.maximum(1e-8 * jnp.sqrt(jnp.sqrt(mu)),
-                         jnp.maximum(opt.dc_floor, opt.dc_floor_banded))
+                         jnp.maximum(opt.dc_floor, floor_b))
         # Slack elimination: constraint row i gets dual regularization
         # D_i = dc (+ 1/sigma_s_i on inequality rows), and the modified
         # residual g~ = rg + rd_s / sigma_s.

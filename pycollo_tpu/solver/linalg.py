@@ -336,32 +336,43 @@ def make_spd_solver(n: int, block: int = 32, pallas: bool = False):
 
         return factor, solve, diag_of_factor
 
+    if jax.default_backend() == "tpu":
+        # TPU: Cholesky + explicit inverse factor.  XLA's batched
+        # ``triangular_solve`` on TPU is a sequential substitution over
+        # rows — profiled at ~5 ms per (256, n) vector solve vs 0.1 ms
+        # for the whole batched factorization — and the interior-point
+        # step does ~18 such solves per iteration (GMRES preconditioner
+        # applications).  Inverting L once per factorization with the
+        # matmul-only recursive-halving kernel turns every subsequent
+        # solve into two MXU matvecs.  (CPU keeps LAPACK cho_solve: the
+        # inverse-factor program is larger for no runtime gain there.)
+        def factor(A):
+            L = jnp.linalg.cholesky(A)
+            # NaN-safe: a failed (indefinite) factorization yields NaN
+            # rows in L; the reciprocal-diagonal recursion keeps them
+            # NaN, which the caller's pivot check detects as before.
+            Linv = _tri_lower_inverse(L)
+            return (L, Linv)
+
+        def solve(factors, rhs):
+            L, Linv = factors
+            vec = rhs.ndim == Linv.ndim - 1
+            r = rhs[..., None] if vec else rhs
+            y = jnp.swapaxes(Linv, -1, -2) @ (Linv @ r)
+            return y[..., 0] if vec else y
+
+        def diag_of_factor(factors):
+            return jnp.diagonal(factors[0], axis1=-2, axis2=-1)
+
+        return factor, solve, diag_of_factor
+
     def factor(A):
-        """Cholesky + explicit inverse factor.
+        return jnp.linalg.cholesky(A)
 
-        XLA's batched ``triangular_solve`` on TPU is a sequential
-        substitution over rows — profiled at ~5 ms per (256, n) vector
-        solve vs 0.1 ms for the whole batched factorization — and the
-        interior-point step does ~18 such solves per iteration (GMRES
-        preconditioner applications).  Inverting L once per
-        factorization with the matmul-only recursive-halving kernel
-        turns every subsequent solve into two MXU matvecs.
-        """
-        L = jnp.linalg.cholesky(A)
-        # NaN-safe: a failed (indefinite) factorization yields NaN rows
-        # in L; the reciprocal-diagonal recursion keeps them NaN, which
-        # the caller's pivot check detects exactly as before.
-        Linv = _tri_lower_inverse(L)
-        return (L, Linv)
+    def solve(L, rhs):
+        return jax.scipy.linalg.cho_solve((L, True), rhs)
 
-    def solve(factors, rhs):
-        L, Linv = factors
-        vec = rhs.ndim == Linv.ndim - 1
-        r = rhs[..., None] if vec else rhs
-        y = jnp.swapaxes(Linv, -1, -2) @ (Linv @ r)
-        return y[..., 0] if vec else y
-
-    def diag_of_factor(factors):
-        return jnp.diagonal(factors[0], axis1=-2, axis2=-1)
+    def diag_of_factor(L):
+        return jnp.diagonal(L, axis1=-2, axis2=-1)
 
     return factor, solve, diag_of_factor

@@ -1,0 +1,99 @@
+"""Record the multi-host weak-scaling artifact (BASELINE.md >= 80%).
+
+Spawns two local ``jax.distributed`` processes, each with 2 virtual CPU
+devices (4-device global mesh), builds the cart-pole bench problem in
+both, and runs ``parallel.multihost.measure_multihost_scaling``
+collectively.  Process 0's result is written to
+``MULTIHOST_SCALING_<tag>.json``.
+
+The efficiency number from two processes sharing one physical machine
+UNDERSTATES real multi-host efficiency (both "hosts" compete for the
+same cores, so the "multi-host" rate is measured on a loaded machine
+while the "single-host" baseline is not); it is recorded as a lower
+bound together with both raw rates.
+
+Usage: python scripts/measure_multihost.py [tag]
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+_WORKER = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+sys.path.insert(0, %(repo)r)
+sys.path.insert(0, %(repo)r + "/examples")
+
+from pycollo_tpu.parallel import multihost
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+multihost.initialize(f"127.0.0.1:{port}", nproc, pid)
+
+from cart_pole_swing_up import build_problem
+problem = build_problem()
+problem.settings.console_out_progress = False
+problem.settings.nlp_tolerance = 1e-6
+problem.initialise()
+it = problem.backend.mesh_iterations[0]
+from pycollo_tpu.solver.ipm import IPMOptions
+it.build_solver(IPMOptions(tol=1e-6, max_iter=60))
+
+res = multihost.measure_multihost_scaling(it, per_host_batch=16)
+print("RESULT " + json.dumps(res), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "manual"
+    port = _free_port()
+    nproc = 2
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_PLATFORMS"] = "cpu"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER % {"repo": str(REPO)},
+             str(pid), str(nproc), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=str(REPO)))
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=1800)
+        if p.returncode != 0:
+            sys.exit(f"worker failed:\n{err[-4000:]}")
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        results.append(json.loads(line[0][len("RESULT "):]))
+    rec = dict(results[0])
+    rec["note"] = ("two local processes share one physical machine; the "
+                   "efficiency is a LOWER bound for real DCN multi-host "
+                   "(the multi-host rate is measured with both workers "
+                   "loading the same cores)")
+    out_path = REPO / f"MULTIHOST_SCALING_{tag}.json"
+    out_path.write_text(json.dumps(rec, indent=1))
+    print(out_path)
+    print(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,7 +140,7 @@ def test_arrow_factor_solve_matches_dense(phase_dims, nw, nr):
         rz.append(jnp.asarray(rhs[off:off + K * MB].reshape(K, MB)))
         off += K * MB
     rw = jnp.asarray(rhs[off:])
-    dz, dw = arrow_solve(blocks, fac, rz, rw)
+    dz, dw = arrow_solve(fac, rz, rw)
     x = np.concatenate([np.asarray(z).reshape(-1) for z in dz]
                        + [np.asarray(dw)])
     x_ref = np.linalg.solve(A, rhs)
@@ -155,7 +155,7 @@ def test_arrow_regularization_dw():
     A = _dense_from_arrow(blocks) + dw * np.eye(3 * 4 + 3)
     rhs = rng.standard_normal(A.shape[0])
     fac = arrow_factor(blocks, jnp.asarray(dw))
-    dz, dwv = arrow_solve(blocks, fac, [jnp.asarray(
+    dz, dwv = arrow_solve(fac, [jnp.asarray(
         rhs[:12].reshape(3, 4))], jnp.asarray(rhs[12:]))
     x = np.concatenate([np.asarray(dz[0]).reshape(-1), np.asarray(dwv)])
     np.testing.assert_allclose(x, np.linalg.solve(A, rhs), rtol=1e-8,
@@ -174,10 +174,10 @@ def test_arrow_vmap_over_levels():
     # unbatched factorization.
     f1 = jax.tree_util.tree_map(lambda a: a[1], facs)
     rhs = rng.standard_normal(15)
-    dz_a, dw_a = arrow_solve(blocks, f1, [jnp.asarray(
+    dz_a, dw_a = arrow_solve(f1, [jnp.asarray(
         rhs[:12].reshape(3, 4))], jnp.asarray(rhs[12:]))
     f_ref = arrow_factor(blocks, jnp.asarray(1.0))
-    dz_b, dw_b = arrow_solve(blocks, f_ref, [jnp.asarray(
+    dz_b, dw_b = arrow_solve(f_ref, [jnp.asarray(
         rhs[:12].reshape(3, 4))], jnp.asarray(rhs[12:]))
     np.testing.assert_allclose(np.asarray(dz_a[0]), np.asarray(dz_b[0]),
                                rtol=1e-12)
