@@ -95,6 +95,12 @@ def solve_batched_global(iteration, theta_local: Optional[np.ndarray] = None,
         return res.f, res.converged, jnp.sum(res.converged.astype(
             jnp.int32))
 
+    # Untimed warm-up: compile (collective) happens outside the timed
+    # region, otherwise the reported rate is dominated by one-time
+    # compilation (measured: a 3-rep loop with the compile inside
+    # reported 2.4 solves/s where the steady rate is ~40).
+    fs, conv, n_conv = step(x0_g, theta_g)
+    jax.block_until_ready(fs)
     t0 = time.perf_counter()
     for _ in range(max(n_rep, 1)):
         fs, conv, n_conv = step(x0_g, theta_g)
