@@ -85,10 +85,16 @@ def main():
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
         results.append(json.loads(line[0][len("RESULT "):]))
     rec = dict(results[0])
-    rec["note"] = ("two local processes share one physical machine; the "
-                   "efficiency is a LOWER bound for real DCN multi-host "
-                   "(the multi-host rate is measured with both workers "
-                   "loading the same cores)")
+    rec["shared_hardware_efficiency"] = (
+        rec["multi_host_solves_per_sec"]
+        / max(rec["single_host_solves_per_sec"], 1e-12))
+    rec["note"] = (
+        "two local processes share one physical machine, so the ideal "
+        "2-process rate EQUALS the 1-process rate (total compute is "
+        "fixed); shared_hardware_efficiency = multi/single measures the "
+        "distributed-runtime overhead. The naive 'efficiency' field "
+        "divides by 2x the single rate and is only meaningful on real "
+        "multi-host hardware (BASELINE.md's >= 80% DCN target).")
     out_path = REPO / f"MULTIHOST_SCALING_{tag}.json"
     out_path.write_text(json.dumps(rec, indent=1))
     print(out_path)
