@@ -70,7 +70,7 @@ def main():
     else:
         it.build_solver(IPMOptions(
             tol=1e-6, max_iter=80, kkt_precision="mixed", dc_floor=1e-7,
-            dense_gmres_iters=10, eval_dtype="f32"))
+            dense_gmres_iters=12, eval_dtype="f32"))
     solver = it._solver
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else CHUNK

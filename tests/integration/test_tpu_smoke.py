@@ -41,7 +41,15 @@ phase.mesh.number_mesh_section_nodes = 4
 problem.initialise()
 it = problem.backend.mesh_iterations[0]
 from pycollo_tpu.solver.ipm import IPMOptions
-it.build_solver(IPMOptions(tol=1e-6, max_iter=60))
+mode = sys.argv[1] if len(sys.argv) > 1 else "f64"
+if mode == "mixed":
+    # The scored bench configuration: f32 Pallas factorization + f32
+    # assembly + f64 certification (see bench.py).
+    it.build_solver(IPMOptions(tol=1e-6, max_iter=60,
+                               kkt_precision="mixed", dc_floor=1e-7,
+                               dense_gmres_iters=12, eval_dtype="f32"))
+else:
+    it.build_solver(IPMOptions(tol=1e-6, max_iter=60))
 
 B = 4
 rng = np.random.default_rng(0)
@@ -61,19 +69,23 @@ print(json.dumps({
 
 
 @pytest.mark.tpu
-def test_tpu_batched_cart_pole_smoke():
+@pytest.mark.parametrize("mode", ["f64", "mixed"])
+def test_tpu_batched_cart_pole_smoke(mode):
     """Tiny batched cart-pole solve on the real device.
 
     Guards against device-only failures (f64 emulation, program-size
-    faults) that the CPU-forced suite cannot see — both round-1 and
-    round-2 benchmark crashes would have been caught here.
+    faults, Pallas/Mosaic legalization) that the CPU-forced suite
+    cannot see — both round-1 and round-2 benchmark crashes would have
+    been caught here.  ``mode="mixed"`` exercises the scored bench
+    configuration (f32 Pallas factorization + f32 assembly + f64
+    certification) on the actual MXU.
     """
     env = dict(os.environ)
     # Drop the CPU-forcing knobs the test harness may have set.
     env.pop("JAX_PLATFORM_NAME", None)
     env["XLA_FLAGS"] = ""
     proc = subprocess.run(
-        [sys.executable, "-c", _SMOKE % {"repo": str(REPO)}],
+        [sys.executable, "-c", _SMOKE % {"repo": str(REPO)}, mode],
         capture_output=True, text=True, timeout=1800, env=env,
         cwd=str(REPO))
     if proc.returncode != 0:
